@@ -41,6 +41,13 @@ def vee(M: jnp.ndarray) -> jnp.ndarray:
     ) * 0.5
 
 
+
+def _safe_norm(v: jnp.ndarray) -> jnp.ndarray:
+    """Norm over the last axis that is differentiable at 0 (adds a tiny
+    bias ~1e-12 to the squared norm; forward error is negligible and the
+    gradient at v = 0 is 0 instead of NaN)."""
+    return jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-24)
+
 def _sinc(x: jnp.ndarray) -> jnp.ndarray:
     """sin(x)/x with Taylor fallback."""
     small = jnp.abs(x) < 1e-4
@@ -57,7 +64,7 @@ def _cosc(x: jnp.ndarray) -> jnp.ndarray:
 
 def exp(w: jnp.ndarray) -> jnp.ndarray:
     """SO(3) exponential map (Rodrigues), batched: (..., 3) -> (..., 3, 3)."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    theta = _safe_norm(w)[..., None]
     th = theta[..., None]  # (..., 1, 1)
     K = hat(w)
     K2 = K @ K
@@ -92,7 +99,7 @@ def quat_from_matrix(R: jnp.ndarray) -> jnp.ndarray:
     cands = jnp.stack([qw, qx, qy, qz], axis=-2)  # (..., 4, 4)
     k = jnp.argmax(scales, axis=-1)
     q = jnp.take_along_axis(cands, k[..., None, None].repeat(4, -1), axis=-2)[..., 0, :]
-    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-20)
+    q = q / _safe_norm(q)[..., None]
     return q
 
 
@@ -109,7 +116,7 @@ def log(R: jnp.ndarray) -> jnp.ndarray:
     sign = jnp.where(qw < 0, -1.0, 1.0)
     qw = qw * sign
     qv = qv * sign[..., None]
-    n = jnp.linalg.norm(qv, axis=-1)
+    n = _safe_norm(qv)
     theta = 2.0 * jnp.arctan2(n, qw)
     # w = theta * qv / n, with small-angle fallback theta/n -> 2/qw
     small = n < 1e-6
@@ -123,7 +130,7 @@ def jr(w: jnp.ndarray) -> jnp.ndarray:
 
     J_r(w) = I - (1-cos t)/t^2 [w]x + (t - sin t)/t^3 [w]x^2
     """
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_norm(w)
     th = theta[..., None, None]
     K = hat(w)
     K2 = K @ K
@@ -141,7 +148,7 @@ def jr_inv(w: jnp.ndarray) -> jnp.ndarray:
 
     J_r^{-1}(w) = I + 1/2 [w]x + (1/t^2 - (1+cos t)/(2 t sin t)) [w]x^2
     """
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_norm(w)
     th = theta[..., None, None]
     K = hat(w)
     K2 = K @ K

@@ -1,0 +1,211 @@
+"""On-manifold IMU preintegration as a fused `lax.scan`.
+
+Capability parity with the reference's `IMU_PRE`
+(preintegration.hpp:11-331 in the reference tree): delta rotation /
+position / velocity with first-order bias Jacobians, 15x15 noise
+covariance recursion, composition (`merge`) for window slides, and the
+two-state factor residual with bias re-parameterization.
+
+TPU-first differences:
+  * integration is one `lax.scan` over padded, masked sample arrays —
+    fixed shapes, no data-dependent control flow;
+  * the factor Jacobian/Hessian is obtained by `jax.jacfwd` of the exact
+    boxplus-perturbed residual instead of hand-transcribed block
+    Jacobians — same Gauss-Newton structure, fewer transcription bugs;
+  * the reference's mutable `dbg/dba` re-parameterization state (with
+    LM rollback buffers, preintegration.hpp:296-303) becomes the pure
+    function dbg = st.bg - bg_lin, which is algebraically identical and
+    needs no rollback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import so3
+from ..core.state import NavState, DIM
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["R_delta", "p_delta", "v_delta", "R_bg", "p_bg", "p_ba",
+                      "v_bg", "v_ba", "dtime", "cov", "bg_lin", "ba_lin"],
+         meta_fields=[])
+@dataclasses.dataclass
+class Preint:
+    """Preintegrated IMU factor between two scans. Batchable pytree."""
+    R_delta: jnp.ndarray   # (..., 3, 3)
+    p_delta: jnp.ndarray   # (..., 3)
+    v_delta: jnp.ndarray   # (..., 3)
+    R_bg: jnp.ndarray      # (..., 3, 3) dR/dbg
+    p_bg: jnp.ndarray      # (..., 3, 3)
+    p_ba: jnp.ndarray      # (..., 3, 3)
+    v_bg: jnp.ndarray      # (..., 3, 3)
+    v_ba: jnp.ndarray      # (..., 3, 3)
+    dtime: jnp.ndarray     # (...,)
+    cov: jnp.ndarray       # (..., 15, 15)
+    bg_lin: jnp.ndarray    # (..., 3) biases at linearization
+    ba_lin: jnp.ndarray    # (..., 3)
+
+    @staticmethod
+    def identity(bg=None, ba=None, dtype=jnp.float32) -> "Preint":
+        z3 = jnp.zeros((3,), dtype)
+        z33 = jnp.zeros((3, 3), dtype)
+        return Preint(
+            R_delta=jnp.eye(3, dtype=dtype), p_delta=z3, v_delta=z3,
+            R_bg=z33, p_bg=z33, p_ba=z33, v_bg=z33, v_ba=z33,
+            dtime=jnp.zeros((), dtype),
+            cov=jnp.zeros((DIM, DIM), dtype),
+            bg_lin=z3 if bg is None else bg,
+            ba_lin=z3 if ba is None else ba,
+        )
+
+
+def integrate(gyr: jnp.ndarray, acc: jnp.ndarray, dt: jnp.ndarray,
+              mask: jnp.ndarray, bg: jnp.ndarray, ba: jnp.ndarray,
+              noise_meas: jnp.ndarray, noise_walk: jnp.ndarray,
+              scale_gravity: float = 1.0) -> Preint:
+    """Integrate midpoint IMU samples into a Preint.
+
+    gyr/acc: (N, 3) midpoint angular velocity / specific force,
+    dt: (N,) interval lengths, mask: (N,) validity (padding-safe).
+    Mirrors IMU_PRE::add_imu (preintegration.hpp:75-135): bias Jacobian
+    recursions and the 9x9 + 6x6 noise covariance recursion.
+    """
+    p0 = Preint.identity(bg, ba, dtype=gyr.dtype)
+
+    def step(c: Preint, inp):
+        g_i, a_i, dt_i, m_i = inp
+        w = (g_i - bg) * m_i
+        a = (a_i * scale_gravity - ba) * m_i
+        dt_i = dt_i * m_i
+
+        R_inc = so3.exp(w * dt_i)
+        R_jr = so3.jr(w * dt_i)
+        R_dt = dt_i * c.R_delta
+        R_dt2_2 = 0.5 * dt_i * dt_i * c.R_delta
+        a_hat = so3.hat(a)
+
+        p_ba = c.p_ba + c.v_ba * dt_i - R_dt2_2
+        p_bg = c.p_bg + c.v_bg * dt_i - R_dt2_2 @ a_hat @ c.R_bg
+        v_ba = c.v_ba - R_dt
+        v_bg = c.v_bg - R_dt @ a_hat @ c.R_bg
+        R_bg = R_inc.T @ c.R_bg - R_jr * dt_i
+
+        # 9x9 error-state transition on (dR, dp, dv) + additive walk on biases
+        A = jnp.eye(9, dtype=gyr.dtype)
+        A = A.at[0:3, 0:3].set(R_inc.T)
+        A = A.at[3:6, 0:3].set(-R_dt2_2 @ a_hat)
+        A = A.at[3:6, 6:9].set(jnp.eye(3, dtype=gyr.dtype) * dt_i)
+        A = A.at[6:9, 0:3].set(-R_dt @ a_hat)
+        B = jnp.zeros((9, 6), dtype=gyr.dtype)
+        B = B.at[0:3, 0:3].set(R_jr * dt_i)
+        B = B.at[3:6, 3:6].set(R_dt2_2)
+        B = B.at[6:9, 3:6].set(R_dt)
+
+        cov9 = A @ c.cov[0:9, 0:9] @ A.T + B @ noise_meas @ B.T
+        cov = c.cov.at[0:9, 0:9].set(cov9)
+        cov = cov.at[9:15, 9:15].add(noise_walk * dt_i)
+
+        p_delta = c.p_delta + c.v_delta * dt_i + R_dt2_2 @ a
+        v_delta = c.v_delta + R_dt @ a
+        R_delta = c.R_delta @ R_inc
+
+        nxt = Preint(R_delta=R_delta, p_delta=p_delta, v_delta=v_delta,
+                     R_bg=R_bg, p_bg=p_bg, p_ba=p_ba, v_bg=v_bg, v_ba=v_ba,
+                     dtime=c.dtime + dt_i, cov=cov,
+                     bg_lin=c.bg_lin, ba_lin=c.ba_lin)
+        return nxt, None
+
+    out, _ = jax.lax.scan(step, p0, (gyr, acc, dt, mask.astype(gyr.dtype)))
+    return out
+
+
+def merge(a: Preint, b: Preint) -> Preint:
+    """Compose two consecutive preintegrations (window slide merging the two
+    oldest intervals; reference IMU_PRE::merge, preintegration.hpp:305-329)."""
+    p_bg = a.p_bg + a.v_bg * b.dtime + a.R_delta @ (b.p_bg - so3.hat(b.p_delta) @ a.R_bg)
+    p_ba = a.p_ba + a.v_ba * b.dtime + a.R_delta @ b.p_ba
+    v_bg = a.v_bg + a.R_delta @ (b.v_bg - so3.hat(b.v_delta) @ a.R_bg)
+    v_ba = a.v_ba + a.R_delta @ b.v_ba
+    R_bg = b.R_delta.T @ a.R_bg + b.R_bg
+
+    Ai = jnp.eye(DIM, dtype=a.cov.dtype)
+    Ai = Ai.at[0:3, 0:3].set(b.R_delta.T)
+    Ai = Ai.at[3:6, 0:3].set(-a.R_delta @ so3.hat(b.p_delta))
+    Ai = Ai.at[3:6, 6:9].set(jnp.eye(3, dtype=a.cov.dtype) * b.dtime)
+    Ai = Ai.at[6:9, 0:3].set(-a.R_delta @ so3.hat(b.v_delta))
+    Bi = jnp.eye(DIM, dtype=a.cov.dtype)
+    Bi = Bi.at[3:6, 3:6].set(a.R_delta)
+    Bi = Bi.at[6:9, 6:9].set(a.R_delta)
+    cov = Ai @ a.cov @ Ai.T + Bi @ b.cov @ Bi.T
+
+    return Preint(
+        R_delta=a.R_delta @ b.R_delta,
+        p_delta=a.p_delta + a.v_delta * b.dtime + a.R_delta @ b.p_delta,
+        v_delta=a.v_delta + a.R_delta @ b.v_delta,
+        R_bg=R_bg, p_bg=p_bg, p_ba=p_ba, v_bg=v_bg, v_ba=v_ba,
+        dtime=a.dtime + b.dtime, cov=cov,
+        bg_lin=a.bg_lin, ba_lin=a.ba_lin,
+    )
+
+
+def residual(pre: Preint, st1: NavState, st2: NavState) -> jnp.ndarray:
+    """15-dim preintegration residual (reference give_evaluate,
+    preintegration.hpp:137-162), with the bias re-parameterization
+    dbg/dba computed from the states directly."""
+    dbg = st1.bg - pre.bg_lin
+    dba = st1.ba - pre.ba_lin
+    R_corr = pre.R_delta @ so3.exp(pre.R_bg @ dbg)
+    t_corr = pre.p_delta + pre.p_bg @ dbg + pre.p_ba @ dba
+    v_corr = pre.v_delta + pre.v_bg @ dbg + pre.v_ba @ dba
+
+    dtime = pre.dtime
+    res_r = so3.log(R_corr.T @ st1.R.T @ st2.R)
+    exp_v = st1.R.T @ (st2.v - st1.v - dtime * st1.g)
+    exp_t = st1.R.T @ (st2.p - st1.p - st1.v * dtime - 0.5 * dtime * dtime * st1.g)
+    return jnp.concatenate([
+        res_r,
+        exp_t - t_corr,
+        exp_v - v_corr,
+        st2.bg - st1.bg,
+        st2.ba - st1.ba,
+    ])
+
+
+def _perturbed_residual(dx1, dx2, dg, pre, st1, st2):
+    st1p = st1.boxplus(dx1)
+    st1p = dataclasses.replace(st1p, g=st1.g + dg)
+    st2p = st2.boxplus(dx2)
+    return residual(pre, st1p, st2p)
+
+
+def evaluate(pre: Preint, st1: NavState, st2: NavState, with_gravity: bool = False):
+    """Residual, chi2 and Gauss-Newton pieces for one IMU factor.
+
+    Returns (chi2, JtWJ, JtWr) where the state layout is
+    [dx1 (15), dx2 (15)] (+ [dg (3)] when with_gravity, matching the
+    reference give_evaluate_g, preintegration.hpp:214-294).
+    """
+    z15 = jnp.zeros((DIM,), pre.p_delta.dtype)
+    z3 = jnp.zeros((3,), pre.p_delta.dtype)
+    r = residual(pre, st1, st2)
+    J1, J2, Jg = jax.jacfwd(_perturbed_residual, argnums=(0, 1, 2))(
+        z15, z15, z3, pre, st1, st2)
+    if with_gravity:
+        J = jnp.concatenate([J1, J2, Jg], axis=1)   # (15, 33)
+    else:
+        J = jnp.concatenate([J1, J2], axis=1)        # (15, 30)
+    # robust inverse of the preintegration covariance
+    W = jnp.linalg.inv(pre.cov + jnp.eye(DIM, dtype=pre.cov.dtype) * 1e-12)
+    JtW = J.T @ W
+    return r @ W @ r, JtW @ J, JtW @ r
+
+
+def chi2(pre: Preint, st1: NavState, st2: NavState) -> jnp.ndarray:
+    r = residual(pre, st1, st2)
+    W = jnp.linalg.inv(pre.cov + jnp.eye(DIM, dtype=pre.cov.dtype) * 1e-12)
+    return r @ W @ r

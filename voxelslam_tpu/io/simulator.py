@@ -1,0 +1,193 @@
+"""Synthetic LiDAR-inertial data generation (host-side, numpy f64).
+
+The reference has no tests and validates on rosbags; we can't ship bags,
+so every end-to-end test and benchmark here runs on simulated data: a
+smooth 6-DoF trajectory through a planar "room", an IMU stream derived
+analytically from it, and LiDAR scans raycast against the room planes
+with per-point timestamps (so motion distortion is real and de-skew is
+exercised).
+
+Ground truth is exact, which turns the reference's manual RViz
+validation (SURVEY.md section 4) into quantitative ATE assertions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+GRAVITY_W = np.array([0.0, 0.0, -9.8])
+
+
+def _hat(v):
+    return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+
+
+def _exp(w):
+    th = np.linalg.norm(w)
+    if th < 1e-12:
+        return np.eye(3)
+    K = _hat(w / th)
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K
+
+
+@dataclasses.dataclass
+class Trajectory:
+    """Dense ground-truth trajectory on a fine grid with interpolation."""
+
+    ts: np.ndarray       # (M,)
+    Rs: np.ndarray       # (M, 3, 3) body->world
+    ps: np.ndarray       # (M, 3)
+    vs: np.ndarray       # (M, 3) world velocity
+    omegas: np.ndarray   # (M, 3) body angular velocity
+    accs: np.ndarray     # (M, 3) world linear acceleration
+
+    def index(self, t):
+        return np.clip(np.searchsorted(self.ts, t), 0, len(self.ts) - 1)
+
+    def state_at(self, t):
+        i = self.index(t)
+        return self.Rs[i], self.ps[i], self.vs[i]
+
+    def imu_at(self, t, bg=None, ba=None, rng=None, gyr_std=0.0, acc_std=0.0):
+        """Ideal IMU measurement at time t (gyro body rate, accel specific force)."""
+        i = self.index(t)
+        gyr = self.omegas[i].copy()
+        acc = self.Rs[i].T @ (self.accs[i] - GRAVITY_W)
+        if bg is not None:
+            gyr = gyr + bg
+        if ba is not None:
+            acc = acc + ba
+        if rng is not None:
+            gyr = gyr + rng.normal(0, gyr_std, 3)
+            acc = acc + rng.normal(0, acc_std, 3)
+        return gyr, acc
+
+
+def make_trajectory(duration=10.0, dt=1e-3, speed=1.0, yaw_rate=0.25,
+                    wobble=0.3, z_amp=0.15, seed=0) -> Trajectory:
+    """Smooth figure-ish path: forward motion + yaw + sinusoidal roll/pitch/z.
+
+    Angular velocity is analytic; orientation is integrated at dt with the
+    exact exponential so (R, omega) stay consistent. Positions follow the
+    body x-axis with analytic world acceleration via finite differences of
+    an analytic velocity (errors O(dt^2), far below test tolerances).
+    """
+    M = int(duration / dt) + 1
+    ts = np.arange(M) * dt
+    omega = np.stack([
+        wobble * 0.6 * np.sin(2 * np.pi * 0.33 * ts),
+        wobble * np.sin(2 * np.pi * 0.21 * ts + 1.0),
+        yaw_rate + wobble * 0.3 * np.sin(2 * np.pi * 0.11 * ts),
+    ], axis=-1)
+
+    Rs = np.empty((M, 3, 3))
+    Rs[0] = np.eye(3)
+    for i in range(1, M):
+        w_mid = 0.5 * (omega[i - 1] + omega[i])
+        Rs[i] = Rs[i - 1] @ _exp(w_mid * dt)
+
+    # world velocity: forward along body x + vertical bob
+    vs = np.einsum("mij,j->mi", Rs, np.array([speed, 0.0, 0.0]))
+    vs[:, 2] += z_amp * 2 * np.pi * 0.4 * np.cos(2 * np.pi * 0.4 * ts)
+
+    ps = np.cumsum(vs * dt, axis=0)
+    ps -= ps[0]
+    accs = np.gradient(vs, dt, axis=0)
+    return Trajectory(ts=ts, Rs=Rs, ps=ps, vs=vs, omegas=omega, accs=accs)
+
+
+def imu_stream(traj: Trajectory, rate=200.0, bg=(0.0, 0.0, 0.0), ba=(0.0, 0.0, 0.0),
+               gyr_std=0.0, acc_std=0.0, seed=1, t0=0.0, t1=None):
+    """Sample an IMU stream from the trajectory. Returns (ts, gyr, acc)."""
+    t1 = traj.ts[-1] if t1 is None else t1
+    ts = np.arange(t0, t1, 1.0 / rate)
+    rng = np.random.default_rng(seed)
+    bg = np.asarray(bg)
+    ba = np.asarray(ba)
+    gyr = np.empty((len(ts), 3))
+    acc = np.empty((len(ts), 3))
+    for k, t in enumerate(ts):
+        gyr[k], acc[k] = traj.imu_at(t, bg, ba, rng, gyr_std, acc_std)
+    return ts, gyr, acc
+
+
+# ---------------------------------------------------------------------------
+# Planar-room LiDAR simulation
+# ---------------------------------------------------------------------------
+
+def box_room(half_extent=(12.0, 10.0, 3.0), center=(0.0, 0.0, 1.0)):
+    """6 axis-aligned planes (inward normals) as (normals (6,3), ds (6,))
+    with n.x + d = 0 on the plane."""
+    hx, hy, hz = half_extent
+    cx, cy, cz = center
+    normals = np.array([
+        [1, 0, 0], [-1, 0, 0],
+        [0, 1, 0], [0, -1, 0],
+        [0, 0, 1], [0, 0, -1],
+    ], dtype=np.float64)
+    # n.x + d = 0 with x on plane: d = -n.o for o a point on the plane
+    ds = -np.einsum("ij,ij->i", normals, np.array([
+        [cx - hx, 0, 0], [cx + hx, 0, 0],
+        [0, cy - hy, 0], [0, cy + hy, 0],
+        [0, 0, cz - hz], [0, 0, cz + hz],
+    ]))
+    return normals, ds
+
+
+def scan_directions(n_az=64, n_el=16, fov_el=(-0.4, 0.3)):
+    """Unit ray directions in sensor frame, row-major az-sweep (mimics a
+    spinning LiDAR so per-point time grows with azimuth)."""
+    az = np.linspace(-np.pi, np.pi, n_az, endpoint=False)
+    el = np.linspace(fov_el[0], fov_el[1], n_el)
+    aa, ee = np.meshgrid(az, el, indexing="ij")
+    d = np.stack([np.cos(ee) * np.cos(aa), np.cos(ee) * np.sin(aa), np.sin(ee)], -1)
+    return d.reshape(-1, 3), (aa.reshape(-1) + np.pi) / (2 * np.pi)  # dirs, phase
+
+
+def raycast(origin, R, dirs, normals, ds, max_range=80.0, min_range=0.5):
+    """Cast rays from world pose (R, origin); returns (points_sensor, hit)."""
+    wd = dirs @ R.T                                # world directions (N, 3)
+    denom = wd @ normals.T                         # (N, P)
+    num = -(origin @ normals.T + ds)               # (P,)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = num[None, :] / denom
+    t = np.where((denom < -1e-9) | (denom > 1e-9), t, np.inf)
+    t = np.where(t > min_range, t, np.inf)
+    thit = t.min(axis=1)
+    hit = np.isfinite(thit) & (thit < max_range)
+    thit = np.where(hit, thit, 0.0)
+    return dirs * thit[:, None], hit
+
+
+def lidar_scan(traj: Trajectory, t_beg, t_end, normals, ds, n_az=64, n_el=16,
+               noise=0.0, seed=0, max_range=80.0):
+    """One motion-distorted scan: each column of rays is cast from the pose
+    at its own timestamp. Returns dict with points (sensor frame AT SAMPLE
+    TIME — i.e. distorted), per-point offsets (s, from t_beg), hit mask."""
+    dirs, phase = scan_directions(n_az, n_el)
+    t_pts = t_beg + phase * (t_end - t_beg)
+    rng = np.random.default_rng(seed)
+    pts = np.zeros((len(dirs), 3))
+    hit = np.zeros(len(dirs), dtype=bool)
+    # group by azimuth column (same timestamp) for speed
+    order = np.argsort(t_pts, kind="stable")
+    dirs_o, t_o = dirs[order], t_pts[order]
+    n_per = n_el
+    for c in range(0, len(dirs_o), n_per):
+        tc = t_o[c]
+        R, p, _ = traj.state_at(tc)
+        pc, hc = raycast(p, R, dirs_o[c:c + n_per], normals, ds, max_range)
+        pts[order[c:c + n_per]] = pc
+        hit[order[c:c + n_per]] = hc
+    if noise > 0:
+        r = np.linalg.norm(pts, axis=-1, keepdims=True)
+        pts += rng.normal(0, noise, pts.shape) * (r > 0)
+    return {
+        "points": pts.astype(np.float32),
+        "offsets": (t_pts - t_beg).astype(np.float32),
+        "hit": hit,
+        "t_beg": t_beg,
+        "t_end": t_end,
+    }
