@@ -1,0 +1,206 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from voxelslam_tpu.config import small_test_config
+from voxelslam_tpu.ops import voxel_hash as vh
+from voxelslam_tpu.map import voxel_map as vm
+from voxelslam_tpu.core import so3
+
+
+class TestVoxelHash:
+    def test_insert_lookup_roundtrip(self, rng):
+        keys = rng.integers(-50, 50, size=(300, 3)).astype(np.int32)
+        keys = np.unique(keys, axis=0)
+        tk, occ = vh.empty_table(1 << 11)
+        tk, occ, slots = vh.insert(tk, occ, jnp.array(keys),
+                                   jnp.ones(len(keys), bool))
+        s = np.asarray(slots)
+        assert np.all(s >= 0)
+        assert len(np.unique(s)) == len(keys)  # no slot collisions
+        found = vh.lookup(tk, occ, jnp.array(keys), jnp.ones(len(keys), bool))
+        np.testing.assert_array_equal(np.asarray(found), s)
+        # absent keys -> -1
+        absent = keys + 1000
+        miss = vh.lookup(tk, occ, jnp.array(absent), jnp.ones(len(keys), bool))
+        assert np.all(np.asarray(miss) == -1)
+
+    def test_reinsert_existing(self, rng):
+        keys = rng.integers(-20, 20, size=(100, 3)).astype(np.int32)
+        keys = np.unique(keys, axis=0)
+        tk, occ = vh.empty_table(1 << 10)
+        tk, occ, s1 = vh.insert(tk, occ, jnp.array(keys), jnp.ones(len(keys), bool))
+        tk2, occ2, s2 = vh.insert(tk, occ, jnp.array(keys), jnp.ones(len(keys), bool))
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ2))
+
+    def test_dedup(self, rng):
+        base = rng.integers(-5, 5, size=(40, 3)).astype(np.int32)
+        idx = rng.integers(0, 40, size=500)
+        keys = base[idx]
+        valid = rng.random(500) > 0.1
+        uniq, uvalid, inv = vh.dedup_keys(jnp.array(keys), jnp.array(valid), 128)
+        uniq, uvalid, inv = map(np.asarray, (uniq, uvalid, inv))
+        n_expected = len(np.unique(keys[valid], axis=0))
+        assert uvalid.sum() == n_expected
+        # every valid input maps to a unique row holding its key
+        for i in np.where(valid)[0][:50]:
+            assert inv[i] >= 0
+            np.testing.assert_array_equal(uniq[inv[i]], keys[i])
+        assert np.all(inv[~valid] == -1)
+
+    def test_voxel_key_negative_floor(self):
+        pts = jnp.array([[-0.1, 0.1, -1.0], [0.9, -0.9, 2.0]])
+        k = np.asarray(vh.voxel_key(pts, 1.0))
+        np.testing.assert_array_equal(k, [[-1, 0, -1], [0, -1, 2]])
+
+
+def _identity_window(W):
+    Rs = jnp.tile(jnp.eye(3)[None], (W, 1, 1))
+    ps = jnp.zeros((W, 3))
+    mp = jnp.arange(W, dtype=jnp.int32)
+    return Rs, ps, mp
+
+
+class TestVoxelMap:
+    def _plane_points(self, rng, n=900, extent=3.0, z=0.5, noise=0.005):
+        pts = np.stack([
+            rng.uniform(-extent, extent, n),
+            rng.uniform(-extent, extent, n),
+            rng.normal(z, noise, n),
+        ], -1).astype(np.float32)
+        return pts
+
+    def test_insert_and_plane_detect(self, rng):
+        cfg = small_test_config().map
+        levels = vm.empty_map(cfg)
+        pts = self._plane_points(rng)
+        mask = jnp.ones(len(pts))
+        tr = jnp.full((len(pts),), 1e-4)
+        levels = vm.insert_scan(levels, cfg, jnp.array(pts), jnp.array(pts),
+                                tr, mask, 0)
+        Rs, ps, mp = _identity_window(cfg.win_size)
+        levels = vm.refresh_planes(levels, cfg, Rs, ps, mp, 1)
+        st0 = np.asarray(levels[0].state)
+        occ0 = np.asarray(levels[0].occ)
+        assert occ0.sum() > 0
+        # z=0 plane voxels at level 0 should be planes
+        planes = (st0 == vm.STATE_PLANE).sum()
+        assert planes >= occ0.sum() * 0.8, (planes, occ0.sum())
+        # normals should be +-z
+        nrm = np.asarray(levels[0].normal)[st0 == vm.STATE_PLANE]
+        assert np.all(np.abs(nrm[:, 2]) > 0.99)
+
+    def test_match_on_plane(self, rng):
+        cfg = small_test_config().map
+        levels = vm.empty_map(cfg)
+        pts = self._plane_points(rng)
+        levels = vm.insert_scan(levels, cfg, jnp.array(pts), jnp.array(pts),
+                                jnp.full((len(pts),), 1e-4), jnp.ones(len(pts)), 0)
+        Rs, ps, mp = _identity_window(cfg.win_size)
+        levels = vm.refresh_planes(levels, cfg, Rs, ps, mp, 1)
+
+        q = self._plane_points(rng, n=200, noise=0.001)
+        var_w = jnp.tile(jnp.eye(3)[None] * 1e-4, (len(q), 1, 1))
+        m = vm.match_points(levels, cfg, jnp.array(q), var_w, jnp.ones(len(q)))
+        valid = np.asarray(m["valid"])
+        assert valid.mean() > 0.7, valid.mean()
+        # matched planes: distance should be small, normals +-z
+        nrm = np.asarray(m["normal"])[valid]
+        assert np.all(np.abs(nrm[:, 2]) > 0.99)
+        assert np.abs(np.asarray(m["dist"])[valid]).max() < 0.05
+        # off-plane points must NOT match
+        q2 = q.copy()
+        q2[:, 2] += 1000.0
+        m2 = vm.match_points(levels, cfg, jnp.array(q2), var_w, jnp.ones(len(q)))
+        assert np.asarray(m2["valid"]).sum() == 0
+
+    def test_subdivision_descends(self, rng):
+        # a corner (two perpendicular planes in one voxel) should subdivide
+        # at level 0 and produce planes at finer levels
+        cfg = small_test_config().map
+        levels = vm.empty_map(cfg)
+        n = 500
+        # two planes meeting at x=0: z=0 (y-x plane) and x=0 (z-y plane)
+        p1 = np.stack([rng.uniform(0, 1, n), rng.uniform(0, 1, n),
+                       rng.normal(0, 0.003, n)], -1)
+        p2 = np.stack([rng.normal(0, 0.003, n), rng.uniform(0, 1, n),
+                       rng.uniform(0, 1, n)], -1)
+        pts = np.concatenate([p1, p2]).astype(np.float32)
+        levels = vm.insert_scan(levels, cfg, jnp.array(pts), jnp.array(pts),
+                                jnp.full((len(pts),), 1e-5), jnp.ones(len(pts)), 0)
+        Rs, ps, mp = _identity_window(cfg.win_size)
+        levels = vm.refresh_planes(levels, cfg, Rs, ps, mp, 1)
+        # the voxel at (0,0,0) contains both planes -> not a plane at L0
+        k0 = vh.lookup(levels[0].keys, levels[0].occ,
+                       jnp.array([[0, 0, 0]], jnp.int32), jnp.array([True]))
+        s0 = int(np.asarray(levels[0].state)[int(k0[0])])
+        assert s0 == vm.STATE_SUBDIV
+        # and finer levels should contain planes
+        st1 = np.asarray(levels[1].state)
+        assert (st1 == vm.STATE_PLANE).sum() > 0
+        # matching a point on the z=0 plane inside that voxel should succeed
+        q = jnp.array([[0.6, 0.4, 0.0]], jnp.float32)
+        var_w = jnp.tile(jnp.eye(3)[None] * 1e-5, (1, 1, 1))
+        m = vm.match_points(levels, cfg, q, var_w, jnp.ones(1))
+        assert bool(m["valid"][0])
+        assert abs(float(m["normal"][0, 2])) > 0.95
+
+    def test_transform_consistency(self, rng):
+        # inserting local points under pose T then refreshing with window
+        # pose T must equal inserting world points with identity pose
+        cfg = small_test_config().map
+        w = jnp.array([0.2, -0.4, 0.9])
+        R = so3.exp(w)
+        t = jnp.array([10.0, -5.0, 2.0])
+        pts_l = self._plane_points(rng, n=400, extent=3.0)
+        pts_w = np.asarray(pts_l @ np.asarray(R).T + np.asarray(t))
+
+        lv_a = vm.empty_map(cfg)
+        lv_a = vm.insert_scan(lv_a, cfg, jnp.array(pts_w), jnp.array(pts_l),
+                              jnp.full((len(pts_l),), 1e-4), jnp.ones(len(pts_l)), 0)
+        Rs = jnp.tile(R[None], (cfg.win_size, 1, 1))
+        ps = jnp.tile(t[None], (cfg.win_size, 1))
+        mp = jnp.arange(cfg.win_size, dtype=jnp.int32)
+        lv_a = vm.refresh_planes(lv_a, cfg, Rs, ps, mp, 1)
+
+        lv_b = vm.empty_map(cfg)
+        lv_b = vm.insert_scan(lv_b, cfg, jnp.array(pts_w), jnp.array(pts_w),
+                              jnp.full((len(pts_w),), 1e-4), jnp.ones(len(pts_w)), 0)
+        Rs_i, ps_i, mp_i = _identity_window(cfg.win_size)
+        lv_b = vm.refresh_planes(lv_b, cfg, Rs_i, ps_i, mp_i, 1)
+
+        # same occupied slots (same world keys), same plane params
+        np.testing.assert_array_equal(np.asarray(lv_a[0].occ), np.asarray(lv_b[0].occ))
+        occ = np.asarray(lv_a[0].occ)
+        np.testing.assert_allclose(np.asarray(lv_a[0].center)[occ],
+                                   np.asarray(lv_b[0].center)[occ], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(lv_a[0].lam)[occ],
+                                   np.asarray(lv_b[0].lam)[occ], atol=1e-5)
+
+    def test_marginalize_preserves_planes(self, rng):
+        cfg = small_test_config().map
+        levels = vm.empty_map(cfg)
+        Rs, ps, mp = _identity_window(cfg.win_size)
+        # insert the same plane into slots 0 and 1
+        for f in range(2):
+            pts = self._plane_points(rng, n=300)
+            levels = vm.insert_scan(levels, cfg, jnp.array(pts), jnp.array(pts),
+                                    jnp.full((len(pts),), 1e-4),
+                                    jnp.ones(len(pts)), f)
+        levels = vm.refresh_planes(levels, cfg, Rs, ps, mp, 2)
+        lam_before = np.asarray(levels[0].lam)
+        st_before = np.asarray(levels[0].state)
+
+        levels = vm.marginalize(levels, cfg, Rs, ps, mp, 2, 1)
+        # window slot 0 cleared
+        assert float(jnp.sum(levels[0].win.n[:, 0])) == 0.0
+        # fixed stats got the points
+        assert float(jnp.sum(levels[0].fix.n)) > 0
+        levels = vm.refresh_planes(levels, cfg, Rs, ps, mp, 2)
+        st_after = np.asarray(levels[0].state)
+        lam_after = np.asarray(levels[0].lam)
+        occ = np.asarray(levels[0].occ)
+        np.testing.assert_array_equal(st_before[occ], st_after[occ])
+        np.testing.assert_allclose(lam_before[occ], lam_after[occ],
+                                   atol=1e-5, rtol=1e-3)

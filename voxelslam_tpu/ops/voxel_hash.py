@@ -1,0 +1,156 @@
+"""Fixed-capacity open-addressing hash for integer voxel keys.
+
+Replaces the reference's pointer-based `unordered_map<VOXEL_LOC, OctoTree*>`
+(tools.hpp:24-49, voxel_map.hpp:1896 in the reference tree) with a
+static-shape table that lives on device:
+
+  * keys   (C, 3) int32 voxel coordinates
+  * occ    (C,)   bool
+
+Lookups are fixed-round linear probing (gather-only). Inserts elect one
+winner per contested slot with a scatter-min, so a whole scan's worth of
+new voxels is inserted in MAX_PROBES batched rounds — no host round-trip,
+no data-dependent shapes. Slots are never deleted in place (eviction is a
+rebuild/compaction pass), so probe chains stay valid.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+MAX_PROBES = 16
+EMPTY_KEY = jnp.iinfo(jnp.int32).min  # sentinel stored in keys[:, 0] when free
+
+
+def voxel_key(points: jnp.ndarray, voxel_size: float) -> jnp.ndarray:
+    """World points (..., 3) -> integer voxel coords (..., 3) int32.
+
+    Matches the reference's floor-toward-negative binning
+    (tools.hpp:207-216: loc -= 1.0 for negative coords + int truncation).
+    """
+    return jnp.floor(points / voxel_size).astype(jnp.int32)
+
+
+def hash_key(keys: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """Mix (..., 3) int32 coords into table indices [0, capacity).
+
+    Multiplicative mixing in uint32 (same spirit as the reference's
+    ((z*P)%N + y)*P%N + x with P=116101, tools.hpp:46, but using odd
+    constants that mix well in 32-bit)."""
+    k = keys.astype(jnp.uint32)
+    h = k[..., 0] * jnp.uint32(73856093)
+    h = h ^ (k[..., 1] * jnp.uint32(19349669))
+    h = h ^ (k[..., 2] * jnp.uint32(83492791))
+    h = h * jnp.uint32(2654435761)
+    return (h % jnp.uint32(capacity)).astype(jnp.int32)
+
+
+def empty_table(capacity: int):
+    keys = jnp.full((capacity, 3), EMPTY_KEY, jnp.int32)
+    occ = jnp.zeros((capacity,), jnp.bool_)
+    return keys, occ
+
+
+def lookup(table_keys: jnp.ndarray, occ: jnp.ndarray,
+           queries: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Find slots for query keys. queries: (Q, 3); valid: (Q,) bool.
+
+    Returns (Q,) int32 slot ids, -1 where absent/invalid. Probing stops
+    logically at the first empty slot (no deletions => chain intact).
+    """
+    C = table_keys.shape[0]
+    h0 = hash_key(queries, C)
+
+    def body(r, state):
+        slot, done = state
+        cand = (h0 + r) % C
+        k = table_keys[cand]
+        o = occ[cand]
+        hit = o & jnp.all(k == queries, axis=-1)
+        miss_empty = ~o
+        slot = jnp.where(~done & hit, cand, slot)
+        done = done | hit | miss_empty
+        return slot, done
+
+    slot = jnp.full(queries.shape[:-1], -1, jnp.int32)
+    done = ~valid
+    slot, _ = jax.lax.fori_loop(0, MAX_PROBES, body, (slot, done))
+    return slot
+
+
+def insert(table_keys: jnp.ndarray, occ: jnp.ndarray,
+           queries: jnp.ndarray, valid: jnp.ndarray):
+    """Insert (deduplicated!) keys; returns (table_keys, occ, slots).
+
+    queries must not contain duplicate keys among valid rows — dedup is
+    the caller's job (scan-level dedup in the voxel map). Keys already in
+    the table resolve to their existing slot. Rows that exhaust
+    MAX_PROBES (table overfull) return slot -1 and are dropped by the
+    caller; keep load factor < ~0.5.
+    """
+    C = table_keys.shape[0]
+    Q = queries.shape[0]
+    h0 = hash_key(queries, C)
+    qidx = jnp.arange(Q, dtype=jnp.int32)
+
+    def body(r, state):
+        tkeys, tocc, slot, done = state
+        cand = (h0 + r) % C
+        k = tkeys[cand]
+        o = tocc[cand]
+        hit = o & jnp.all(k == queries, axis=-1) & ~done
+        slot = jnp.where(hit, cand, slot)
+        done = done | hit
+
+        # claim empty slots: elect one winner per candidate slot
+        want = ~done & ~o
+        election = jnp.full((C,), Q, jnp.int32).at[
+            jnp.where(want, cand, C - 1)
+        ].min(jnp.where(want, qidx, Q), mode="drop")
+        won = want & (election[cand] == qidx)
+        tkeys = tkeys.at[jnp.where(won, cand, C)].set(
+            jnp.where(won[:, None], queries, EMPTY_KEY), mode="drop")
+        tocc = tocc.at[jnp.where(won, cand, C)].set(won, mode="drop")
+        slot = jnp.where(won, cand, slot)
+        done = done | won
+        return tkeys, tocc, slot, done
+
+    slot0 = jnp.full((Q,), -1, jnp.int32)
+    done0 = ~valid
+    table_keys, occ, slot, _ = jax.lax.fori_loop(
+        0, MAX_PROBES, body, (table_keys, occ, slot0, done0))
+    return table_keys, occ, slot
+
+
+def dedup_keys(keys: jnp.ndarray, valid: jnp.ndarray, unique_max: int):
+    """Deduplicate (N, 3) int32 keys -> (unique_max, 3) padded uniques.
+
+    Returns (uniq_keys, uniq_valid, inverse) where inverse (N,) maps each
+    input row to its unique row (or -1 if input invalid / overflow).
+    Fixed shapes throughout: lexsort + neighbor-compare + bounded scatter.
+    """
+    N = keys.shape[0]
+    big = jnp.where(valid[:, None], keys, jnp.iinfo(jnp.int32).max)
+    order = jnp.lexsort((big[:, 2], big[:, 1], big[:, 0]))
+    sk = big[order]
+    first = jnp.concatenate([
+        jnp.array([True]),
+        jnp.any(sk[1:] != sk[:-1], axis=-1),
+    ])
+    valid_sorted = valid[order]
+    first = first & valid_sorted
+    # unique id per sorted row (0-based among uniques)
+    uid_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
+    overflow = uid_sorted >= unique_max
+    uid_sorted = jnp.where(valid_sorted & ~overflow, uid_sorted, -1)
+
+    # gather unique keys
+    uniq_keys = jnp.full((unique_max, 3), EMPTY_KEY, jnp.int32)
+    tgt = jnp.where(first & ~overflow, uid_sorted, unique_max)
+    uniq_keys = uniq_keys.at[tgt].set(sk, mode="drop")
+    n_uniq = jnp.sum((first & ~overflow).astype(jnp.int32))
+    uniq_valid = jnp.arange(unique_max) < n_uniq
+
+    inverse = jnp.full((N,), -1, jnp.int32).at[order].set(uid_sorted)
+    return uniq_keys, uniq_valid, inverse
