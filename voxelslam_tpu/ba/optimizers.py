@@ -1,0 +1,253 @@
+"""Levenberg-Marquardt optimizers for the sliding window.
+
+Capability parity with the reference's three LM solvers
+(voxel_map.hpp:342-976 in the reference tree):
+
+  * lm_lidar      — 6-DoF x W poses, LiDAR eigen factors only
+                    (Lidar_BA_Optimizer; used by HBA)
+  * lm_li         — 15-DoF x W (pose+vel+bias) = LiDAR + preintegration
+                    factors weighted by imu_coef (LI_BA_Optimizer)
+  * lm_li_gravity — same + a shared 3-DoF gravity column
+                    (LI_BA_OptimizerGravity; init / post-loop reloc)
+
+All three run the reference's Nielsen damping schedule
+(voxel_map.hpp:422-497) inside a `lax.while_loop`: accept/reject with
+rho = (r1 - r2) / q1, u <- u * max(1/3, 1 - (2 rho - 1)^3) on accept,
+u <- u*v, v <- 2v on reject; gauge fixed by pinning the first frame
+(zero rows/cols + identity block, voxel_map.hpp:452-455).
+
+The dense normal systems are tiny (60 / 150 / 153), so each LM iteration
+is one fused device computation; the Hessian is exact (jacfwd of grad
+through the eigen factor + preintegration factors).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import so3
+from ..core.state import NavState, DIM
+from ..imu import preintegration as pre
+from . import lidar_factor as lf
+
+_REL_TOL = 1e-6
+
+
+def _solve_scaled(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Solve H dx = -g with Jacobi scaling (f32-friendly)."""
+    d = jnp.sqrt(jnp.maximum(jnp.diag(H), 1e-12))
+    Hs = H / d[:, None] / d[None, :]
+    gs = g / d
+    dx = jnp.linalg.solve(Hs, -gs)
+    return dx / d
+
+
+def _gauge_fix(H: jnp.ndarray, g: jnp.ndarray, dim: int):
+    H = H.at[:dim, :].set(0.0)
+    H = H.at[:, :dim].set(0.0)
+    H = H.at[:dim, :dim].set(jnp.eye(dim, dtype=H.dtype))
+    g = g.at[:dim].set(0.0)
+    return H, g
+
+
+def _nielsen_update(u, v, rho):
+    q = 1.0 - (2.0 * rho - 1.0) ** 3
+    u_acc = u * jnp.maximum(q, 1.0 / 3.0)
+    return u_acc, jnp.float32(2.0)
+
+
+# ---------------------------------------------------------------------------
+# LiDAR-only LM over (W, 6) poses
+# ---------------------------------------------------------------------------
+
+def lm_lidar(Rs, ps, factors: lf.FactorBatch, win_mask, max_iter: int = 3,
+             u0: float = 0.01):
+    """Returns (Rs, ps, H, resi0, resi1, converged)."""
+    W = Rs.shape[0]
+    n6 = W * 6
+
+    def full_eval(Rs, ps):
+        H, g = lf.hess_grad(factors, Rs, ps, win_mask)
+        r = lf.cost(factors, Rs, ps, win_mask)
+        return H, g, r
+
+    H0, g0, r0 = full_eval(Rs, ps)
+
+    def body(c):
+        it, u, v, Rs, ps, H, g, r1, conv = c
+        Hf, gf = _gauge_fix(H, g, 6)
+        D = jnp.diag(jnp.diag(Hf))
+        dx = _solve_scaled(Hf + u * D, gf)
+        dxw = dx.reshape(W, 6)
+        Rs_n = Rs @ so3.exp(dxw[:, 0:3])
+        ps_n = ps + dxw[:, 3:6]
+        q1 = 0.5 * jnp.dot(dx, u * (D @ dx) - gf)
+        r2 = lf.cost(factors, Rs_n, ps_n, win_mask)
+        q = r1 - r2
+        accept = q > 0
+        rho = q / jnp.maximum(q1, 1e-20)
+        u_acc, v_acc = _nielsen_update(u, v, rho)
+
+        Rs = jnp.where(accept, Rs_n, Rs)
+        ps = jnp.where(accept, ps_n, ps)
+        H_n, g_n, _ = full_eval(Rs, ps)
+        H = jnp.where(accept, H_n, H)
+        g = jnp.where(accept, g_n, g)
+        r1_n = jnp.where(accept, r2, r1)
+        u = jnp.where(accept, u_acc, u * v)
+        v = jnp.where(accept, v_acc, 2.0 * v)
+        conv = conv & accept
+        done_tol = jnp.abs(q / jnp.maximum(r1, 1e-20)) < _REL_TOL
+        it = jnp.where(done_tol, max_iter, it + 1)
+        return it, u, v, Rs, ps, H, g, r1_n, conv
+
+    def cond(c):
+        return c[0] < max_iter
+
+    c0 = (jnp.int32(0), jnp.float32(u0), jnp.float32(2.0), Rs, ps, H0, g0,
+          r0, jnp.bool_(True))
+    it, u, v, Rs, ps, H, g, r1, conv = jax.lax.while_loop(cond, body, c0)
+    return Rs, ps, H, r0, r1, conv
+
+
+# ---------------------------------------------------------------------------
+# LiDAR-inertial LM over (W, 15) states [+ shared gravity]
+# ---------------------------------------------------------------------------
+
+def _imu_terms(states: NavState, preints: pre.Preint, imu_coef, with_gravity):
+    """Stacked IMU factor contributions. states: batched (W,); preints:
+    batched (W-1,). Returns (H, g, chi) in the (15W [+3]) layout."""
+    W = states.t.shape[0]
+    n = W * DIM + (3 if with_gravity else 0)
+
+    st1 = states[slice(0, W - 1)]
+    st2 = states[slice(1, W)]
+    ev = jax.vmap(lambda p, a, b: pre.evaluate(p, a, b, with_gravity))
+    chi, jtj, gg = ev(preints, st1, st2)
+
+    H = jnp.zeros((n, n))
+    g = jnp.zeros((n,))
+    for i in range(W - 1):
+        s = i * DIM
+        H = H.at[s:s + 2 * DIM, s:s + 2 * DIM].add(jtj[i][:2 * DIM, :2 * DIM])
+        g = g.at[s:s + 2 * DIM].add(gg[i][:2 * DIM])
+        if with_gravity:
+            H = H.at[s:s + 2 * DIM, n - 3:].add(jtj[i][:2 * DIM, 2 * DIM:])
+            H = H.at[n - 3:, s:s + 2 * DIM].add(jtj[i][2 * DIM:, :2 * DIM])
+            H = H.at[n - 3:, n - 3:].add(jtj[i][2 * DIM:, 2 * DIM:])
+            g = g.at[n - 3:].add(gg[i][2 * DIM:])
+    return H * imu_coef, g * imu_coef, jnp.sum(chi) * imu_coef * 0.5
+
+
+def _apply_dx(states: NavState, dx: jnp.ndarray, with_gravity: bool):
+    W = states.t.shape[0]
+    body = dx[:W * DIM].reshape(W, DIM)
+    out = states.boxplus(body)
+    if with_gravity:
+        out = dataclasses.replace(out, g=states.g + dx[W * DIM:])
+    return out
+
+
+GRAVITY_NORM = 9.81
+
+
+def _gravity_prior(g_vec, weight):
+    """Soft prior on |g| = 9.81 — collapses the velocity/gravity null
+    direction of short init windows (the reference instead hard-gates
+    |g| in [9.6, 10.0] and resets on failure, voxelslam.cpp:766)."""
+    def rg(dg):
+        return jnp.linalg.norm(g_vec + dg) - GRAVITY_NORM
+    r = rg(jnp.zeros(3))
+    J = jax.jacfwd(rg)(jnp.zeros(3))
+    return weight * jnp.outer(J, J), weight * J * r, weight * r * r
+
+
+def _li_eval(states: NavState, factors, preints, win_mask, imu_coef,
+             with_gravity, g_prior_w=0.0):
+    """Full residual + Hessian/gradient in the 15W [+3] layout."""
+    W = states.t.shape[0]
+    n = W * DIM + (3 if with_gravity else 0)
+    H_imu, g_imu, r_imu = _imu_terms(states, preints, imu_coef, with_gravity)
+
+    Hl, gl = lf.hess_grad(factors, states.R, states.p, win_mask)
+    rl = lf.cost(factors, states.R, states.p, win_mask)
+    idx = (jnp.arange(W)[:, None] * DIM + jnp.arange(6)[None, :]).reshape(-1)
+    H = H_imu.at[idx[:, None], idx[None, :]].add(Hl)
+    g = g_imu.at[idx].add(gl)
+    r = r_imu + rl
+    if with_gravity and g_prior_w > 0:
+        Hg, gg, rg = _gravity_prior(states.g[0], g_prior_w)
+        H = H.at[n - 3:, n - 3:].add(Hg)
+        g = g.at[n - 3:].add(gg)
+        r = r + rg
+    return H, g, r
+
+
+def _li_residual(states, factors, preints, win_mask, imu_coef,
+                 g_prior_w=0.0):
+    W = states.t.shape[0]
+    st1 = states[slice(0, W - 1)]
+    st2 = states[slice(1, W)]
+    chi = jax.vmap(pre.chi2)(preints, st1, st2)
+    rl = lf.cost(factors, states.R, states.p, win_mask)
+    r = jnp.sum(chi) * imu_coef * 0.5 + rl
+    rg = jnp.linalg.norm(states.g[0]) - GRAVITY_NORM
+    return r + g_prior_w * rg * rg
+
+
+def lm_li(states: NavState, factors: lf.FactorBatch, preints: pre.Preint,
+          win_mask, imu_coef: float = 1e-4, max_iter: int = 3,
+          u0: float = 0.01, with_gravity: bool = False,
+          g_prior_w: float = 0.0):
+    """LiDAR-inertial windowed LM. states: batched NavState (W,);
+    preints: batched Preint (W-1,). Returns (states, H, r0, r1, conv)."""
+    W = states.t.shape[0]
+    n = W * DIM + (3 if with_gravity else 0)
+
+    H0, g0, r0 = _li_eval(states, factors, preints, win_mask, imu_coef,
+                          with_gravity, g_prior_w)
+
+    def body(c):
+        it, u, v, states, H, g, r1, conv = c
+        Hf, gf = _gauge_fix(H, g, DIM)
+        D = jnp.diag(jnp.diag(Hf))
+        dx = _solve_scaled(Hf + u * D, gf)
+        st_n = _apply_dx(states, dx, with_gravity)
+        q1 = 0.5 * jnp.dot(dx, u * (D @ dx) - gf)
+        r2 = _li_residual(st_n, factors, preints, win_mask, imu_coef,
+                          g_prior_w)
+        q = r1 - r2
+        accept = q > 0
+        rho = q / jnp.maximum(q1, 1e-20)
+        u_acc, v_acc = _nielsen_update(u, v, rho)
+
+        states = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), st_n, states)
+        H_n, g_n, _ = _li_eval(states, factors, preints, win_mask, imu_coef,
+                               with_gravity, g_prior_w)
+        H = jnp.where(accept, H_n, H)
+        g = jnp.where(accept, g_n, g)
+        r1_n = jnp.where(accept, r2, r1)
+        u = jnp.where(accept, u_acc, u * v)
+        v = jnp.where(accept, v_acc, 2.0 * v)
+        conv = conv & accept
+        done_tol = jnp.abs(q / jnp.maximum(r1, 1e-20)) < _REL_TOL
+        it = jnp.where(done_tol, max_iter, it + 1)
+        return it, u, v, states, H, g, r1_n, conv
+
+    c0 = (jnp.int32(0), jnp.float32(u0), jnp.float32(2.0), states, H0, g0,
+          r0, jnp.bool_(True))
+    out = jax.lax.while_loop(lambda c: c[0] < max_iter, body, c0)
+    it, u, v, states, H, g, r1, conv = out
+    return states, H, r0, r1, conv
+
+
+def lm_li_gravity(states, factors, preints, win_mask, imu_coef=1e-4,
+                  max_iter: int = 3, u0: float = 0.01,
+                  g_prior_w: float = 0.0):
+    return lm_li(states, factors, preints, win_mask, imu_coef, max_iter, u0,
+                 with_gravity=True, g_prior_w=g_prior_w)

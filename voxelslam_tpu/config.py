@@ -76,6 +76,7 @@ class InitConfig:
     min_eigen_value: float = 0.02          # relaxed init map (voxelslam.cpp:628)
     plane_thr: float = 0.25
     converge_thre: float = 0.05
+    gravity_prior_weight: float = 10.0   # soft |g|=9.81 prior in init BA
     degeneracy_eig: float = 15.0           # voxelslam.cpp:746
     gravity_norm_lo: float = 9.6           # voxelslam.cpp:766
     gravity_norm_hi: float = 10.0

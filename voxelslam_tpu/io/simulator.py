@@ -66,21 +66,27 @@ class Trajectory:
 
 
 def make_trajectory(duration=10.0, dt=1e-3, speed=1.0, yaw_rate=0.25,
-                    wobble=0.3, z_amp=0.15, seed=0) -> Trajectory:
+                    wobble=0.3, z_amp=0.15, seed=0, ramp=1.0) -> Trajectory:
     """Smooth figure-ish path: forward motion + yaw + sinusoidal roll/pitch/z.
 
     Angular velocity is analytic; orientation is integrated at dt with the
     exact exponential so (R, omega) stay consistent. Positions follow the
     body x-axis with analytic world acceleration via finite differences of
     an analytic velocity (errors O(dt^2), far below test tolerances).
+
+    `ramp` smoothly scales all motion from rest over the first `ramp`
+    seconds (handheld/vehicle sequences start stationary, which is what
+    the reference's initialization expects of its demo datasets).
     """
     M = int(duration / dt) + 1
     ts = np.arange(M) * dt
+    s = np.clip(ts / max(ramp, 1e-6), 0.0, 1.0)
+    s = s * s * (3.0 - 2.0 * s)  # smoothstep: zero velocity AND accel at t=0
     omega = np.stack([
         wobble * 0.6 * np.sin(2 * np.pi * 0.33 * ts),
         wobble * np.sin(2 * np.pi * 0.21 * ts + 1.0),
         yaw_rate + wobble * 0.3 * np.sin(2 * np.pi * 0.11 * ts),
-    ], axis=-1)
+    ], axis=-1) * s[:, None]
 
     Rs = np.empty((M, 3, 3))
     Rs[0] = np.eye(3)
@@ -91,6 +97,7 @@ def make_trajectory(duration=10.0, dt=1e-3, speed=1.0, yaw_rate=0.25,
     # world velocity: forward along body x + vertical bob
     vs = np.einsum("mij,j->mi", Rs, np.array([speed, 0.0, 0.0]))
     vs[:, 2] += z_amp * 2 * np.pi * 0.4 * np.cos(2 * np.pi * 0.4 * ts)
+    vs *= s[:, None]
 
     ps = np.cumsum(vs * dt, axis=0)
     ps -= ps[0]

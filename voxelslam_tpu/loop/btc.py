@@ -1,0 +1,282 @@
+"""Binary-Triangle-Combined (BTC/STD) place-recognition descriptors.
+
+Capability parity with the reference's `STDescManager`
+(BTC.h:228-274, BTC.cpp:90-1479 in the reference tree):
+
+  keyframe cloud
+    -> single-level voxel plane detection        (BTC.cpp:90-139,279-338)
+    -> per-plane projection images: 0.5 m grid, occupancy over height
+       slices = binary code + summary            (extract_binary, :613-924)
+    -> block-max NMS -> corner keypoints          (:926-977)
+    -> triangles over top corners, sides sorted a<=b<=c, deduplicated by
+       quantized side lengths                     (generate_std, :979-1126)
+    -> hash DB keyed by quantized sides; queries vote per frame with +-1
+       quantization slack                         (SearchLoop, :1128-1279)
+    -> SVD rigid solve on matched triangles + agreement voting
+       (triangle_solver, :1398-1420)
+    -> plane-overlap geometric score              (:1422-1479)
+
+TPU split: plane extraction + projection images + corner NMS run as
+batched device ops; the descriptor DB and voting are a host-side hash
+(same as the reference's unordered_map DB).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.eig3 import eigh3
+from ..ops import voxel_hash as vh
+
+
+@dataclasses.dataclass(frozen=True)
+class BtcConfig:
+    voxel_size: float = 1.0          # plane voxelization (BTC.cpp profile)
+    plane_min_points: int = 10
+    plane_eig_thr: float = 0.01      # lam_min gate (BTC.cpp:110)
+    max_planes: int = 24
+    image_res: float = 0.5           # projection grid (BTC.cpp:676)
+    grid: int = 48                   # cells per side
+    height_slices: int = 8
+    slice_height: float = 0.5
+    nms_block: int = 5               # 5x5 block max (BTC.cpp:900ish)
+    max_corners: int = 24            # kept corners per keyframe
+    min_side: float = 2.0
+    max_side: float = 30.0
+    side_quant: float = 0.2          # side-length hash quantization (m)
+    min_votes: int = 5               # candidate gate (BTC.cpp:1227)
+    max_matches: int = 50            # RANSAC-lite pairs (BTC.cpp:1290)
+    vertex_tol: float = 1.0          # agreement threshold (m)
+    plane_norm_tol: float = 0.85     # overlap: |n_s . n_t| >=
+    plane_dist_tol: float = 0.5      # overlap: |n.(c_s - c_t)| <
+    # aerial profile tweaks (reference isHighFly, BTC.cpp:3-68)
+    is_high_fly: bool = False
+
+
+def _extract_planes(cloud, mask, cfg: BtcConfig):
+    """Single-level voxel plane detection. Returns (centers, normals,
+    valid) padded to cfg.max_planes, sorted by point count."""
+    N = cloud.shape[0]
+    keys = vh.voxel_key(cloud, cfg.voxel_size)
+    uniq, uvalid, inv = vh.dedup_keys(keys, mask > 0, 4096)
+    U = 4096
+    seg = jnp.where(inv >= 0, inv, U)
+    w = ((mask > 0) & (inv >= 0)).astype(cloud.dtype)
+    n = jnp.zeros((U,)).at[seg].add(w, mode="drop")
+    s = jnp.zeros((U, 3)).at[seg].add(cloud * w[:, None], mode="drop")
+    mu = s / jnp.maximum(n, 1.0)[:, None]
+    d = (cloud - mu[jnp.maximum(inv, 0)]) * w[:, None]
+    S = jnp.zeros((U, 3, 3)).at[seg].add(d[:, :, None] * d[:, None, :],
+                                         mode="drop")
+    lam, V = eigh3(S / jnp.maximum(n, 1.0)[:, None, None])
+    is_plane = uvalid & (n >= cfg.plane_min_points) & \
+        (lam[:, 0] < cfg.plane_eig_thr)
+    # keep the biggest planes
+    score = jnp.where(is_plane, n, -1.0)
+    top = jax.lax.top_k(score, cfg.max_planes)[1]
+    return mu[top], V[top][:, :, 0], is_plane[top], n[top]
+
+
+def _project_corners(cloud, mask, centers, normals, pvalid, cfg: BtcConfig):
+    """Binary projection images + block-max NMS corners per plane.
+
+    Returns (corners (P*C, 3), summary (P*C,), binary (P*C, S), valid).
+    """
+    P = centers.shape[0]
+    G = cfg.grid
+    S = cfg.height_slices
+    C = cfg.max_corners
+
+    # plane bases
+    a = jnp.where(jnp.abs(normals[:, 2:3]) < 0.9,
+                  jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), normals.shape),
+                  jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), normals.shape))
+    t1 = jnp.cross(normals, a)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+    t2 = jnp.cross(normals, t1)
+
+    rel = cloud[None, :, :] - centers[:, None, :]          # (P, N, 3)
+    u = jnp.einsum("pni,pi->pn", rel, t1)
+    v = jnp.einsum("pni,pi->pn", rel, t2)
+    h = jnp.einsum("pni,pi->pn", rel, normals)
+    gx = jnp.floor(u / cfg.image_res).astype(jnp.int32) + G // 2
+    gy = jnp.floor(v / cfg.image_res).astype(jnp.int32) + G // 2
+    hs = jnp.floor(h / cfg.slice_height).astype(jnp.int32)
+    ok = ((mask[None, :] > 0) & (gx >= 0) & (gx < G) & (gy >= 0) & (gy < G)
+          & (hs >= 0) & (hs < S) & pvalid[:, None])
+
+    # occupancy (P, G, G, S) via scatter-max
+    occ = jnp.zeros((P, G, G, S))
+    pidx = jnp.broadcast_to(jnp.arange(P)[:, None], gx.shape)
+    flat = jnp.where(ok, ((pidx * G + gx) * G + gy) * S + hs, P * G * G * S)
+    occ = occ.reshape(-1).at[flat.reshape(-1)].max(
+        jnp.ones_like(flat.reshape(-1), jnp.float32), mode="drop")
+    occ = occ.reshape(P, G, G, S)
+    summary = jnp.sum(occ, axis=-1)                        # (P, G, G)
+
+    # 5x5 block-max NMS
+    pooled = jax.lax.reduce_window(
+        summary, -jnp.inf, jax.lax.max,
+        (1, cfg.nms_block, cfg.nms_block), (1, 1, 1), "SAME")
+    is_peak = (summary >= pooled) & (summary > 1)
+
+    # top-C peaks per plane
+    flat_sum = jnp.where(is_peak, summary, -1.0).reshape(P, G * G)
+    vals, idx = jax.lax.top_k(flat_sum, C)                 # (P, C)
+    cx = idx // G
+    cy = idx % G
+    uu = (cx - G // 2 + 0.5) * cfg.image_res
+    vv = (cy - G // 2 + 0.5) * cfg.image_res
+    corners = (centers[:, None, :] + uu[..., None] * t1[:, None, :]
+               + vv[..., None] * t2[:, None, :])           # (P, C, 3)
+    binary = jnp.take_along_axis(
+        occ.reshape(P, G * G, S), idx[..., None], axis=1)  # (P, C, S)
+    cvalid = (vals > 1) & pvalid[:, None]
+    return (corners.reshape(-1, 3), vals.reshape(-1),
+            binary.reshape(-1, S), cvalid.reshape(-1))
+
+
+def _triangles(corners, summary, binary, cvalid, cfg: BtcConfig):
+    """All-triplet triangle descriptors over the global top corners."""
+    C = cfg.max_corners
+    score = jnp.where(cvalid, summary, -1.0)
+    top = jax.lax.top_k(score, C)[1]
+    pts = corners[top]
+    bins = binary[top]
+    val = cvalid[top]
+
+    ii, jj, kk = jnp.meshgrid(jnp.arange(C), jnp.arange(C), jnp.arange(C),
+                              indexing="ij")
+    tri_mask = (ii < jj) & (jj < kk)
+    ii, jj, kk = ii.reshape(-1), jj.reshape(-1), kk.reshape(-1)
+    tri_mask = tri_mask.reshape(-1)
+
+    d = jnp.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
+    sides = jnp.stack([d[ii, jj], d[ii, kk], d[jj, kk]], axis=-1)
+    order = jnp.argsort(sides, axis=-1)
+    sides = jnp.take_along_axis(sides, order, axis=-1)
+    ok = (tri_mask & val[ii] & val[jj] & val[kk]
+          & (sides[:, 0] >= cfg.min_side) & (sides[:, 2] <= cfg.max_side))
+    verts = jnp.stack([pts[ii], pts[jj], pts[kk]], axis=1)  # (T, 3, 3)
+    vbins = jnp.stack([bins[ii], bins[jj], bins[kk]], axis=1)
+    return sides, verts, vbins, ok
+
+
+def extract(cloud: jnp.ndarray, mask: jnp.ndarray, cfg: BtcConfig):
+    """Full descriptor extraction for one keyframe cloud (device)."""
+    centers, normals, pvalid, pcount = _extract_planes(cloud, mask, cfg)
+    corners, summary, binary, cvalid = _project_corners(
+        cloud, mask, centers, normals, pvalid, cfg)
+    sides, verts, vbins, tvalid = _triangles(corners, summary, binary,
+                                             cvalid, cfg)
+    return dict(sides=sides, verts=verts, binary=vbins, tri_valid=tvalid,
+                plane_centers=centers, plane_normals=normals,
+                plane_valid=pvalid)
+
+
+_extract_jit = jax.jit(extract, static_argnums=(2,))
+
+
+def triangle_svd(src_verts: np.ndarray, dst_verts: np.ndarray):
+    """Rigid transform aligning (M, 3, 3) source triangle vertices to the
+    matched target vertices (reference triangle_solver, BTC.cpp:1398)."""
+    src = src_verts.reshape(-1, 3)
+    dst = dst_verts.reshape(-1, 3)
+    mu_s, mu_d = src.mean(0), dst.mean(0)
+    H = (src - mu_s).T @ (dst - mu_d)
+    U, _, Vt = np.linalg.svd(H)
+    D = np.diag([1.0, 1.0, np.sign(np.linalg.det(Vt.T @ U.T))])
+    R = Vt.T @ D @ U.T
+    t = mu_d - R @ mu_s
+    return R, t
+
+
+class DescriptorDB:
+    """Host-side hash of triangle descriptors across all sessions
+    (reference data_base_, BTC.h:244)."""
+
+    def __init__(self, cfg: BtcConfig):
+        self.cfg = cfg
+        self.db = defaultdict(list)  # (qa, qb, qc) -> [(frame, tri idx)]
+        self.frames = {}             # frame id -> extraction dict (numpy)
+
+    def _qkey(self, sides):
+        q = np.round(sides / self.cfg.side_quant).astype(np.int64)
+        return q
+
+    def add(self, frame_id: int, desc):
+        d = {k: np.asarray(v) for k, v in desc.items()}
+        self.frames[frame_id] = d
+        ok = d["tri_valid"]
+        qs = self._qkey(d["sides"][ok])
+        for t_local, q in zip(np.where(ok)[0], qs):
+            self.db[tuple(q)].append((frame_id, int(t_local)))
+
+    def search(self, desc, skip_near: int = 10, current_frame: int = 1 << 30):
+        """Vote candidate frames for a query keyframe. Returns
+        [(frame, votes, matches)] sorted by votes; matches are
+        (query tri idx, target tri idx) pairs."""
+        d = {k: np.asarray(v) for k, v in desc.items()}
+        ok = np.where(d["tri_valid"])[0]
+        votes = defaultdict(list)
+        qs = self._qkey(d["sides"][ok])
+        for t_local, q in zip(ok, qs):
+            for da in (-1, 0, 1):
+                for db_ in (-1, 0, 1):
+                    for dc in (-1, 0, 1):
+                        key = (q[0] + da, q[1] + db_, q[2] + dc)
+                        for (f, tt) in self.db.get(key, ()):  # noqa
+                            if current_frame - f <= skip_near and \
+                                    f <= current_frame:
+                                continue
+                            votes[f].append((int(t_local), tt))
+        cand = sorted(votes.items(), key=lambda kv: -len(kv[1]))
+        return [(f, len(m), m[:self.cfg.max_matches]) for f, m in cand
+                if len(m) >= self.cfg.min_votes]
+
+    def verify(self, desc, cand_frame: int, matches):
+        """Geometric verification: per-match SVD transform, agreement
+        voting, then plane-overlap score with the winning transform."""
+        cfg = self.cfg
+        q = {k: np.asarray(v) for k, v in desc.items()}
+        t_ = self.frames[cand_frame]
+        qi = np.array([m[0] for m in matches])
+        ti = np.array([m[1] for m in matches])
+        sv = q["verts"][qi]      # (M, 3, 3)
+        dv = t_["verts"][ti]
+
+        best = None
+        for m in range(len(matches)):
+            R, t = triangle_svd(sv[m], dv[m])
+            moved = sv @ R.T + t
+            agree = np.linalg.norm(moved - dv, axis=-1).max(-1) < cfg.vertex_tol
+            score = int(agree.sum())
+            if best is None or score > best[0]:
+                best = (score, R, t, agree)
+        if best is None or best[0] < 4:   # reference: >= 4 votes
+            return None
+        # refine with all agreeing matches
+        _, R, t, agree = best
+        if agree.sum() >= 2:
+            R, t = triangle_svd(sv[agree], dv[agree])
+
+        # plane-overlap score (reference plane_geometric_verify)
+        sc = q["plane_centers"][q["plane_valid"]]
+        sn = q["plane_normals"][q["plane_valid"]]
+        tc = t_["plane_centers"][t_["plane_valid"]]
+        tn = t_["plane_normals"][t_["plane_valid"]]
+        if len(sc) == 0 or len(tc) == 0:
+            return None
+        sc2 = sc @ R.T + t
+        sn2 = sn @ R.T
+        dists = np.linalg.norm(sc2[:, None] - tc[None], axis=-1)
+        nn = dists.argmin(1)
+        ndot = np.abs(np.einsum("ni,ni->n", sn2, tn[nn]))
+        pd = np.abs(np.einsum("ni,ni->n", tn[nn], sc2 - tc[nn]))
+        overlap = ((ndot > cfg.plane_norm_tol) & (pd < cfg.plane_dist_tol)).mean()
+        return dict(R=R, t=t, votes=int(best[0]), overlap=float(overlap))

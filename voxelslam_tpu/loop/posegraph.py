@@ -1,0 +1,114 @@
+"""SE(3) pose-graph optimizer (BetweenFactor Gauss-Newton).
+
+Replaces the reference's GTSAM/ISAM2 usage (voxelslam.cpp:2552-2561,
+2769-2777 in the reference tree). The reference only ever solves
+batch-style bursts of BetweenFactor graphs (odometry chains + loop
+edges + a prior on the first pose), at most O(10^4) poses — a dense
+damped GN on TPU handles that directly; ISAM2 incrementality is not
+needed (SURVEY.md section 7.3).
+
+Edges are (i, j, rel_R, rel_p, info6) with the residual
+    r = [Log(rel_R^T R_i^T R_j), R_i^T (p_j - p_i) - rel_p]
+and diagonal information info6 (the reference feeds per-edge variances
+v6 from the local-BA Hessian, loop_refine.hpp:17-45).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import so3
+
+
+def edge_residual(Ri, pi, Rj, pj, rel_R, rel_p):
+    dR = rel_R.T @ (Ri.T @ Rj)
+    return jnp.concatenate([so3.log(dR),
+                            Ri.T @ (pj - pi) - rel_p])
+
+
+def _edge_blocks(R, p, i_idx, j_idx, rel_R, rel_p, info):
+    """Batched residual/Jacobian blocks for all edges."""
+
+    def one(i, j, rR, rp, w6):
+        Ri, pi = R[i], p[i]
+        Rj, pj = R[j], p[j]
+
+        def res(dxi, dxj):
+            return edge_residual(Ri @ so3.exp(dxi[0:3]), pi + dxi[3:6],
+                                 Rj @ so3.exp(dxj[0:3]), pj + dxj[3:6],
+                                 rR, rp)
+
+        z = jnp.zeros((6,))
+        r = res(z, z)
+        Ji, Jj = jax.jacfwd(res, argnums=(0, 1))(z, z)
+        return r, Ji, Jj
+
+    return jax.vmap(one)(i_idx, j_idx, rel_R, rel_p, info)
+
+
+def solve_pose_graph(R, p, i_idx, j_idx, rel_R, rel_p, info,
+                     edge_mask=None, iters: int = 5, damping: float = 1e-6,
+                     fix_first: bool = True):
+    """Damped GN over all poses. R (K,3,3), p (K,3); edges as arrays.
+
+    info: (E, 6) diagonal information per edge. Returns (R, p, chi2).
+    """
+    K = R.shape[0]
+    if edge_mask is None:
+        edge_mask = jnp.ones(i_idx.shape[0], bool)
+    w_edge = edge_mask.astype(jnp.float32)
+
+    def gn_iter(carry, _):
+        R, p = carry
+        r, Ji, Jj = _edge_blocks(R, p, i_idx, j_idx, rel_R, rel_p, info)
+        w6 = info * w_edge[:, None]
+        H = jnp.zeros((6 * K, 6 * K))
+        g = jnp.zeros((6 * K,))
+        offs = jnp.arange(6)
+        rows_i = (i_idx * 6)[:, None] + offs[None, :]
+        rows_j = (j_idx * 6)[:, None] + offs[None, :]
+        JwI = Ji * w6[:, :, None]
+        JwJ = Jj * w6[:, :, None]
+        H = H.at[rows_i[:, :, None], rows_i[:, None, :]].add(
+            jnp.einsum("eri,erj->eij", Ji, JwI))
+        H = H.at[rows_i[:, :, None], rows_j[:, None, :]].add(
+            jnp.einsum("eri,erj->eij", Ji, JwJ))
+        H = H.at[rows_j[:, :, None], rows_i[:, None, :]].add(
+            jnp.einsum("eri,erj->eij", Jj, JwI))
+        H = H.at[rows_j[:, :, None], rows_j[:, None, :]].add(
+            jnp.einsum("eri,erj->eij", Jj, JwJ))
+        g = g.at[rows_i].add(jnp.einsum("eri,er->ei", JwI, r))
+        g = g.at[rows_j].add(jnp.einsum("eri,er->ei", JwJ, r))
+        chi = jnp.sum(w6 * r * r)
+
+        if fix_first:
+            H = H.at[:6, :].set(0.0).at[:, :6].set(0.0)
+            H = H.at[:6, :6].set(jnp.eye(6))
+            g = g.at[:6].set(0.0)
+        d = jnp.sqrt(jnp.maximum(jnp.diag(H), 1e-10))
+        Hs = H / d[:, None] / d[None, :]
+        Hs = Hs + damping * jnp.eye(6 * K)
+        dx = (jnp.linalg.solve(Hs, -(g / d)) / d).reshape(K, 6)
+        R2 = R @ so3.exp(dx[:, 0:3])
+        p2 = p + dx[:, 3:6]
+        return (R2, p2), chi
+
+    (R, p), chis = jax.lax.scan(gn_iter, (R, p), None, length=iters)
+    return R, p, chis[-1]
+
+
+def odometry_chain_edges(Rs, ps, v6):
+    """Consecutive BetweenFactors from a trajectory (the reference's
+    odometry chain in build_graph, voxelslam.cpp:2078-2154).
+
+    v6: (K, 6) per-scan variance -> info = 1/var on the edge to its
+    successor. Returns (i_idx, j_idx, rel_R, rel_p, info).
+    """
+    K = Rs.shape[0]
+    i_idx = jnp.arange(K - 1, dtype=jnp.int32)
+    j_idx = i_idx + 1
+    rel_R = jnp.einsum("nji,njk->nik", Rs[:-1], Rs[1:])
+    rel_p = jnp.einsum("nji,nj->ni", Rs[:-1], ps[1:] - ps[:-1])
+    info = 1.0 / jnp.maximum(v6[1:], 1e-8)
+    return i_idx, j_idx, rel_R, rel_p, info

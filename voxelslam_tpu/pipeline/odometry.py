@@ -1,0 +1,651 @@
+"""Odometry + local-mapping pipeline (the reference's main thread).
+
+Capability parity with `VOXEL_SLam::thd_odometry_localmapping`
+(voxelslam.cpp:1740-2067 in the reference tree) restructured as a
+deterministic per-scan step:
+
+  scan -> EKF propagate + de-skew -> voxel downsample -> iEKF update vs
+  map (divergence gate) -> window push (insert + preintegration) ->
+  plane refresh -> [window full] sliding-window LI-BA -> marginalize ->
+  slide
+
+plus the initialization phase (EKF + kNN-LIO accumulation, then the
+multi-round dynamic init with joint gravity optimization — reference
+`initialization`/`Initialization::motion_init`, voxelslam.cpp:460-819,
+1450-1534) and `system_reset` divergence recovery (voxelslam.cpp:
+1537-1586), which starts a new session.
+
+Host code only shuffles numpy buffers and decides phases; all math runs
+in a handful of jitted step functions with static shapes from the
+config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..core import so3
+from ..core.state import NavState, DIM
+from ..core.eig3 import eigvalsh3
+from ..imu import ekf, preintegration as pre
+from ..map import voxel_map as vm
+from ..ba import optimizers as opt
+from ..odom import iekf
+from ..ops.downsample import voxel_downsample
+
+
+def _stack(trees):
+    return jax.tree.map(lambda *x: jnp.stack(x), *trees)
+
+
+@dataclasses.dataclass
+class ScanPose:
+    """Output stream element (reference loop_refine.hpp:17-45)."""
+    t: float
+    R: np.ndarray
+    p: np.ndarray
+    v: np.ndarray
+    v6: np.ndarray          # per-scan variance 6-vector from the BA Hessian
+    cloud: np.ndarray       # downsampled body-frame cloud
+    cloud_mask: np.ndarray
+    session: int
+
+
+class SlamPipeline:
+    """Streaming LiDAR-inertial SLAM front end."""
+
+    def __init__(self, cfg: SlamConfig, collect_clouds: bool = True):
+        self.cfg = cfg
+        # when False, skip the per-scan device->host cloud fetch (loop
+        # closure disabled); saves ~50-100 ms/scan on tunneled devices
+        self.collect_clouds = collect_clouds
+        W = cfg.lba.win_size
+        P = cfg.odom.point_max
+
+        self.noise_meas = jnp.diag(jnp.array(
+            [cfg.lba.noise_gyr] * 3 + [cfg.lba.noise_acc] * 3, jnp.float32))
+        self.noise_walk = jnp.diag(jnp.array(
+            [cfg.lba.walk_gyr] * 3 + [cfg.lba.walk_acc] * 3, jnp.float32))
+        self.R_ext = jnp.array(cfg.extrinsic_R, jnp.float32).reshape(3, 3)
+        self.t_ext = jnp.array(cfg.extrinsic_t, jnp.float32)
+
+        self._jit_prop_deskew = jax.jit(self._prop_deskew)
+        self._jit_downsample = jax.jit(self._downsample_var)
+        self._jit_kdtree_step = jax.jit(self._kdtree_step)
+        self._jit_steady = jax.jit(self._steady_scan)
+        self._jit_push = jax.jit(self._push_window)
+        self._jit_ba_slide = jax.jit(self._window_ba_slide)
+        self._jit_init_round = jax.jit(self._init_round)
+        self._jit_align = jax.jit(self._align_gravity)
+        self._jit_integrate = jax.jit(self._integrate_preint)
+        self._jit_refresh = jax.jit(self._refresh)
+        self._jit_megastep = jax.jit(self._steady_megastep, donate_argnums=(1, 2, 4))
+
+        self.reset(session=0, hard=True)
+
+    # ------------------------------------------------------------------
+    # lifecycle
+    # ------------------------------------------------------------------
+
+    def reset(self, session: int, hard: bool = False):
+        """System reset: drop map and window, new session (reference
+        system_reset, voxelslam.cpp:1537-1586). IMU stays initialized."""
+        cfg = self.cfg
+        W = cfg.lba.win_size
+        P = cfg.odom.point_max
+        self.levels = vm.empty_map(cfg.map)
+        self.x = NavState.identity()
+        if not hard and getattr(self, "_gravity", None) is not None:
+            self.x = dataclasses.replace(
+                self.x, g=self._gravity, bg=self._bg0,
+                p=jnp.array([0.0, 0.0, 30.0]))  # reference :1553
+        self.win = _stack([NavState.identity() for _ in range(W)])
+        self.mp = jnp.arange(W, dtype=jnp.int32)
+        self.win_count = 0
+        self.preints = None          # built lazily as a list, stacked for BA
+        self._preint_list = []
+        self.scan_buf = np.zeros((W, P, 3), np.float32)
+        self.scan_mask = np.zeros((W, P), np.float32)
+        self.scan_tr = np.zeros((W, P), np.float32)
+        M = cfg.odom.imu_max - 1
+        self.imu_buf_g = np.zeros((W, M, 3), np.float32)
+        self.imu_buf_a = np.zeros((W, M, 3), np.float32)
+        self.imu_buf_dt = np.zeros((W, M), np.float32)
+        self.imu_buf_m = np.zeros((W, M), np.float32)
+        self.degrade_cnt = 0
+        self._last_p = None
+        self.session = session
+        self.jour = 0.0
+        self.init_done = False
+        self.scan_count = 0
+        self.last_scan_end = None
+        # init-phase reference cloud
+        self.init_cloud = jnp.zeros((4 * P, 3), jnp.float32)
+        self.init_cloud_mask = jnp.zeros((4 * P,), jnp.float32)
+        if hard:
+            self.scan_poses: list[ScanPose] = []
+            self._gravity = None
+            self._bg0 = jnp.zeros(3)
+            self._imu_acc = []
+            self._imu_gyr = []
+
+    # ------------------------------------------------------------------
+    # jitted pieces
+    # ------------------------------------------------------------------
+
+    def _prop_deskew(self, state, imu_ts, gyr, acc, imu_mask, scan_beg,
+                     scan_end, last_end, pts, offsets, pt_mask):
+        cfg = self.cfg.odom
+        covd = lambda v: jnp.full((3,), v, jnp.float32)
+        st, poses = ekf.propagate(
+            state, imu_ts, gyr, acc, imu_mask, scan_beg, scan_end, last_end,
+            covd(cfg.cov_gyr), covd(cfg.cov_acc),
+            covd(cfg.cov_bias_gyr), covd(cfg.cov_bias_acc))
+        if self.cfg.odom.point_notime:
+            des = pts
+        else:
+            des = ekf.deskew(pts, offsets, poses, st, self.R_ext, self.t_ext)
+        # LiDAR frame -> body (IMU) frame
+        body = des @ self.R_ext.T + self.t_ext
+        return st, body
+
+    def _downsample_var(self, pts_body, mask):
+        cfg = self.cfg.odom
+        down, dmask, _ = voxel_downsample(pts_body, mask, cfg.down_size,
+                                          self.cfg.odom.point_max)
+        var_b = iekf.point_var_body(down, cfg.dept_err, cfg.beam_err)
+        tr = jnp.einsum("nii->n", var_b) / 3.0
+        return down, dmask.astype(jnp.float32), var_b, tr
+
+    def _kdtree_step(self, state, ref_cloud, ref_mask, pts, mask):
+        st = iekf.iekf_update_kdtree(state, ref_cloud, ref_mask, pts, mask)
+        # append world points into the init cloud buffer (ring-style)
+        wld = pts @ st.R.T + st.p
+        buf = jnp.concatenate([ref_cloud, wld], axis=0)
+        bmask = jnp.concatenate([ref_mask, mask], axis=0)
+        down, dmask, _ = voxel_downsample(buf, bmask, 0.5, ref_cloud.shape[0])
+        return st, down, dmask.astype(jnp.float32)
+
+    def _steady_scan(self, state, levels, pts, mask, var_b, tr):
+        st, ok, diag = iekf.iekf_update(
+            state, levels, self.cfg.map, pts, var_b, mask,
+            max_iter=self.cfg.odom.max_iter,
+            degrade_eig=self.cfg.odom.degrade_eig)
+        return st, ok, diag
+
+    def _push_window(self, levels, state, pts, mask, tr, frame_slot, jour):
+        wld = pts @ state.R.T + state.p
+        levels = vm.insert_scan(levels, self.cfg.map, wld, pts, tr, mask,
+                                frame_slot, jour)
+        return levels
+
+    def _refresh(self, levels, win, mp, win_count):
+        return vm.refresh_planes(levels, self.cfg.map, win.R, win.p, mp,
+                                 win_count)
+
+    def _integrate_preint(self, gyr, acc, dt, mask, bg, ba):
+        return pre.integrate(gyr, acc, dt, mask, bg, ba,
+                             self.noise_meas, self.noise_walk)
+
+    def _window_ba_slide(self, levels, win, preints, mp):
+        cfg = self.cfg
+        W = cfg.lba.win_size
+        mg = cfg.lba.mgsize
+        factors = vm.harvest(levels, cfg.map, mp, cfg.lba.factor_max)
+        win_mask = jnp.ones((W,))
+        new_win, H, r0, r1, conv = opt.lm_li(
+            win, factors, preints, win_mask, imu_coef=cfg.lba.imu_coef,
+            max_iter=cfg.lba.max_iter)
+        # per-scan variance from the BA Hessian diagonal (pose block of
+        # frame 0 — the scan leaving the window; reference :1974-1980)
+        d = jnp.diag(H)[0 * DIM:0 * DIM + 6]
+        v6 = 1.0 / jnp.maximum(d, 1e-6)
+        # refresh planes with optimized states, then marginalize
+        levels = vm.refresh_planes(levels, cfg.map, new_win.R, new_win.p, mp, W)
+        levels = vm.marginalize(levels, cfg.map, new_win.R, new_win.p, mp,
+                                W, mg)
+        mp_new = jnp.concatenate([mp[mg:], mp[:mg]])
+        win_shift = jax.tree.map(
+            lambda a: jnp.concatenate([a[mg:], a[:mg]], axis=0), new_win)
+        return levels, new_win, win_shift, mp_new, v6, r0, r1
+
+    def _steady_megastep(self, state, levels, win, mp, preints,
+                         imu_blob, scan_blob, scal):
+        """One fused steady-phase scan: propagate+deskew -> downsample ->
+        preintegrate -> iEKF -> window push + insert -> plane refresh ->
+        windowed LI-BA -> marginalize -> slide. Single device call per
+        scan (the reference spreads this over its main thread + 5-thread
+        pools; on TPU one fused graph keeps everything on-chip).
+
+        Window invariant at entry: logical frames 0..W-2 are valid, the
+        new scan becomes frame W-1; `preints` (W-1,) holds the previous
+        window's intervals (front entry is retired by the shift).
+        """
+        cfg = self.cfg
+        W = cfg.lba.win_size
+        mg = cfg.lba.mgsize
+        imu_ts, gyr, acc, imask = (imu_blob[:, 0], imu_blob[:, 1:4],
+                                   imu_blob[:, 4:7], imu_blob[:, 7])
+        pts, offsets, pmask = (scan_blob[:, 0:3], scan_blob[:, 3],
+                               scan_blob[:, 4])
+        scan_beg, scan_end, last_end, jour = scal[0], scal[1], scal[2], scal[3]
+
+        # 1) propagate + deskew + downsample
+        x_prop, body = self._prop_deskew(state, imu_ts, gyr, acc, imask,
+                                         scan_beg, scan_end, last_end,
+                                         pts, offsets, pmask)
+        down, dmask, var_b, tr = self._downsample_var(body, pmask)
+
+        # 2) preintegration over exactly (last_end, scan_end]
+        g_mid = 0.5 * (gyr[:-1] + gyr[1:])
+        a_mid = 0.5 * (acc[:-1] + acc[1:])
+        heads = jnp.clip(imu_ts[:-1], last_end, scan_end)
+        tails = jnp.clip(imu_ts[1:], last_end, scan_end)
+        dtp = (tails - heads) * (imask[:-1] * imask[1:])
+        p_new = pre.integrate(g_mid, a_mid, dtp, imask[1:],
+                              x_prop.bg, x_prop.ba,
+                              self.noise_meas, self.noise_walk)
+        preints = jax.tree.map(
+            lambda a, b: jnp.concatenate([a[1:], b[None]], axis=0),
+            preints, p_new)
+
+        # 3) iterated-EKF update vs the map
+        st, ok, diag = iekf.iekf_update(
+            x_prop, levels, cfg.map, down, var_b, dmask,
+            max_iter=cfg.odom.max_iter, degrade_eig=cfg.odom.degrade_eig)
+
+        # 4) push into window slot mp[W-1]
+        win = jax.tree.map(lambda a, b: a.at[W - 1].set(b), win, st)
+        wld = down @ st.R.T + st.p
+        levels = vm.insert_scan(levels, cfg.map, wld, down, tr, dmask,
+                                mp[W - 1], jour)
+
+        # 5) plane refresh with full window
+        levels = vm.refresh_planes(levels, cfg.map, win.R, win.p, mp, W)
+
+        # 6) windowed LI-BA
+        factors = vm.harvest(levels, cfg.map, mp, cfg.lba.factor_max)
+        new_win, H, r0, r1, conv = opt.lm_li(
+            win, factors, preints, jnp.ones((W,)),
+            imu_coef=cfg.lba.imu_coef, max_iter=cfg.lba.max_iter)
+        d6 = jnp.diag(H)[0:6]
+        v6 = 1.0 / jnp.maximum(d6, 1e-6)
+
+        # 7) refresh + marginalize with optimized poses, slide
+        levels = vm.refresh_planes(levels, cfg.map, new_win.R, new_win.p,
+                                   mp, W)
+        levels = vm.marginalize(levels, cfg.map, new_win.R, new_win.p,
+                                mp, W, mg)
+        mp_new = jnp.concatenate([mp[mg:], mp[:mg]])
+        emitted = new_win[slice(0, mg)]
+        win_next = jax.tree.map(
+            lambda a: jnp.concatenate([a[mg:], a[:mg]], axis=0), new_win)
+        x_out = new_win[W - 1]
+        # pack all small outputs into one vector -> one host fetch per scan
+        stats = jnp.concatenate([
+            jnp.stack([ok.astype(jnp.float32),
+                       diag["matches"].astype(jnp.float32),
+                       diag["nnt_eig"][0], r0, r1]),
+            v6,
+            emitted.t.reshape(-1),
+            emitted.R.reshape(-1),
+            emitted.p.reshape(-1),
+            emitted.v.reshape(-1),
+        ])
+        return (x_out, levels, win_next, mp_new, preints, stats,
+                down, dmask, tr)
+
+    def _init_round(self, scans, masks, trs, states, imu_g, imu_a, imu_dt,
+                    imu_m):
+        """One dynamic-init round: re-integrate preintegrations at the
+        current bias estimates (reference recreates IMU_PRE each round,
+        voxelslam.cpp:728), rebuild a fresh relaxed-threshold map from the
+        window scans at current states, then LI-BA with gravity
+        (reference motion_init inner loop, voxelslam.cpp:649-731)."""
+        cfg = self.cfg
+        W = cfg.lba.win_size
+        preints = jax.vmap(
+            lambda g, a, dt, m, bg, ba: pre.integrate(
+                g, a, dt, m, bg, ba, self.noise_meas, self.noise_walk)
+        )(imu_g[1:], imu_a[1:], imu_dt[1:], imu_m[1:],
+          states.bg[:W - 1], states.ba[:W - 1])
+        icfg = dataclasses.replace(
+            cfg.map, capacities=tuple(min(c, 1 << 13) for c in cfg.map.capacities))
+        levels = vm.empty_map(icfg)
+        mp = jnp.arange(W, dtype=jnp.int32)
+        for i in range(W):
+            wld = scans[i] @ states.R[i].T + states.p[i]
+            levels = vm.insert_scan(levels, icfg, wld, scans[i], trs[i],
+                                    masks[i], i)
+        levels = vm.refresh_planes(
+            levels, icfg, states.R, states.p, mp, W,
+            min_eigen_value=cfg.init.min_eigen_value,
+            plane_thr=cfg.init.plane_thr)
+        factors = vm.harvest(levels, icfg, mp, cfg.lba.factor_max)
+        new_states, H, r0, r1, conv = opt.lm_li_gravity(
+            states, factors, preints, jnp.ones((W,)),
+            imu_coef=cfg.lba.imu_coef, max_iter=cfg.lba.max_iter,
+            g_prior_w=cfg.init.gravity_prior_weight)
+        # degeneracy: Gram matrix of detected plane normals
+        # (reference voxelslam.cpp:734-758 uses matched normals)
+        nrm = []
+        for lv in levels:
+            nrm.append(jnp.where((lv.state == vm.STATE_PLANE)[:, None],
+                                 lv.normal, 0.0))
+        nmat = jnp.concatenate(nrm, axis=0)
+        gram = nmat.T @ nmat
+        ev = eigvalsh3(gram)
+        return new_states, r0, r1, ev[0]
+
+    def _align_gravity(self, states):
+        """Rotate the whole window so gravity is -z (reference
+        align_gravity, voxelslam.cpp:470-496)."""
+        g = states.g[0]
+        gn = jnp.linalg.norm(g)
+        target = jnp.array([0.0, 0.0, -1.0]) * gn
+        axis = jnp.cross(g, target)
+        s = jnp.linalg.norm(axis)
+        c = jnp.dot(g, target)
+        ang = jnp.arctan2(s, jnp.maximum(c, -gn * gn))
+        axis = axis / jnp.maximum(s, 1e-9)
+        R_al = so3.exp(axis * ang)
+        p0 = states.p[0]
+        new = dataclasses.replace(
+            states,
+            R=R_al[None] @ states.R,
+            p=jnp.einsum("ij,nj->ni", R_al, states.p - p0[None]),
+            v=jnp.einsum("ij,nj->ni", R_al, states.v),
+            g=jnp.broadcast_to(target, states.g.shape),
+        )
+        return new
+
+    # ------------------------------------------------------------------
+    # host orchestration
+    # ------------------------------------------------------------------
+
+    def _pad_points(self, pts, offsets=None):
+        P = self.cfg.odom.point_max
+        n = min(len(pts), P)
+        out = np.zeros((P, 3), np.float32)
+        out[:n] = pts[:n]
+        msk = np.zeros((P,), np.float32)
+        msk[:n] = 1.0
+        off = np.zeros((P,), np.float32)
+        if offsets is not None:
+            off[:n] = offsets[:n]
+        return out, off, msk
+
+    def _pad_imu(self, ts, gyr, acc):
+        M = self.cfg.odom.imu_max
+        n = min(len(ts), M)
+        t = np.zeros((M,), np.float32)
+        g = np.zeros((M, 3), np.float32)
+        a = np.zeros((M, 3), np.float32)
+        m = np.zeros((M,), np.float32)
+        t[:n], g[:n], a[:n], m[:n] = ts[:n], gyr[:n], acc[:n], 1.0
+        # pad times with the last valid time to keep searchsorted sane
+        if n:
+            t[n:] = ts[n - 1]
+        return t, g, a, m
+
+    def process_scan(self, points, offsets, imu_ts, imu_gyr, imu_acc,
+                     t_beg, t_end):
+        """Feed one synchronized packet (reference sync_packages output).
+
+        points: (N, 3) LiDAR-frame; offsets: (N,) seconds from t_beg;
+        imu_*: IMU samples covering (last_end, t_end].
+        Returns a status dict.
+        """
+        cfg = self.cfg
+        W = cfg.lba.win_size
+
+        # --- IMU static init (reference IMUEKF::IMU_init) ---
+        if self._gravity is None:
+            self._imu_acc.extend(np.asarray(imu_acc))
+            self._imu_gyr.extend(np.asarray(imu_gyr))
+            if len(self._imu_acc) > cfg.init.min_imu_num:
+                acc = jnp.array(np.stack(self._imu_acc), jnp.float32)
+                gyr = jnp.array(np.stack(self._imu_gyr), jnp.float32)
+                g, mg, scale, _ = ekf.static_init(
+                    acc, gyr, jnp.ones(acc.shape[0]),
+                    livox_g_normalized=(cfg.lidar_type == "livox"))
+                self._gravity = g
+                self._scale_gravity = float(scale)
+                self.x = dataclasses.replace(self.x, g=g)
+            self.last_scan_end = t_end
+            return {"phase": "imu_init"}
+
+        pts_j, off_j, pmask = self._pad_points(points, offsets)
+        ts_j, gyr_j, acc_j, imask = self._pad_imu(imu_ts, imu_gyr, imu_acc)
+        last_end = self.last_scan_end if self.last_scan_end is not None else t_beg
+        self.last_scan_end = t_end
+
+        if self.init_done:
+            return self._process_steady_fused(
+                ts_j, gyr_j, acc_j, imask, t_beg, t_end, last_end,
+                pts_j, off_j, pmask)
+
+        # --- init phase: separate (non-fused) steps ---
+        pts_j, off_j, pmask = jnp.array(pts_j), jnp.array(off_j), jnp.array(pmask)
+        ts_j, gyr_j, acc_j, imask = (jnp.array(ts_j), jnp.array(gyr_j),
+                                     jnp.array(acc_j), jnp.array(imask))
+        x_prop, body = self._jit_prop_deskew(
+            self.x, ts_j, gyr_j, acc_j, imask, t_beg, t_end, last_end,
+            pts_j, off_j, pmask)
+        down, dmask, var_b, tr = self._jit_downsample(body, pmask)
+
+        # preintegration over exactly (last_end, t_end] (the reference
+        # rewrites the boundary IMU stamps the same way,
+        # ekf_imu.hpp:125-133)
+        g_mid = 0.5 * (gyr_j[:-1] + gyr_j[1:])
+        a_mid = 0.5 * (acc_j[:-1] + acc_j[1:])
+        heads = jnp.clip(ts_j[:-1], float(last_end), float(t_end))
+        tails = jnp.clip(ts_j[1:], float(last_end), float(t_end))
+        dt = (tails - heads) * (imask[:-1] * imask[1:])
+        p_int = self._jit_integrate(g_mid, a_mid, dt, imask[1:],
+                                    x_prop.bg, x_prop.ba)
+        self._last_imu_mid = (np.asarray(g_mid), np.asarray(a_mid),
+                              np.asarray(dt), np.asarray(imask[1:]))
+        return self._process_init(x_prop, down, dmask, var_b, tr, p_int,
+                                  t_end)
+
+    # --- init phase -----------------------------------------------------
+
+    def _process_init(self, x_prop, down, dmask, var_b, tr, p_int, t_end):
+        cfg = self.cfg
+        W = cfg.lba.win_size
+        st, cloud, cmask = self._jit_kdtree_step(
+            x_prop, self.init_cloud, self.init_cloud_mask, down, dmask)
+        self.x = st
+        self.init_cloud, self.init_cloud_mask = cloud, cmask
+
+        i = self.win_count
+        self.win = jax.tree.map(
+            lambda a, b: a.at[i].set(b), self.win, st)
+        self.scan_buf[i] = np.asarray(down)
+        self.scan_mask[i] = np.asarray(dmask)
+        self.scan_tr[i] = np.asarray(tr)
+        if i > 0:
+            self._preint_list.append(p_int)
+            g_m, a_m, dt_m, m_m = self._last_imu_mid
+            self.imu_buf_g[i] = g_m
+            self.imu_buf_a[i] = a_m
+            self.imu_buf_dt[i] = dt_m
+            self.imu_buf_m[i] = m_m
+        self.win_count += 1
+        self.scan_count += 1
+
+        if self.win_count < W:
+            return {"phase": "init_accum", "win": self.win_count}
+
+        # --- dynamic init (motion_init) ---
+        states = self.win
+        scans = jnp.array(self.scan_buf)
+        masks = jnp.array(self.scan_mask)
+        trs = jnp.array(self.scan_tr)
+        imu_bufs = (jnp.array(self.imu_buf_g), jnp.array(self.imu_buf_a),
+                    jnp.array(self.imu_buf_dt), jnp.array(self.imu_buf_m))
+        last_r = None
+        ev0 = 0.0
+        for rnd in range(cfg.init.max_rounds):
+            states, r0, r1, ev0 = self._jit_init_round(
+                scans, masks, trs, states, *imu_bufs)
+            r1 = float(r1)
+            if last_r is not None and abs(last_r - r1) / max(last_r, 1e-9) \
+                    < cfg.init.converge_thre:
+                break
+            last_r = r1
+
+        states = self._jit_align(states)
+        g_norm = float(jnp.linalg.norm(states.g[0]))
+        ok = (float(ev0) >= cfg.init.degeneracy_eig
+              and cfg.init.gravity_norm_lo <= g_norm
+              <= cfg.init.gravity_norm_hi)
+        if not ok:
+            self.reset(session=self.session + 1)
+            return {"phase": "init_failed", "ev0": float(ev0),
+                    "g_norm": g_norm}
+
+        # success: build the real map from the window at optimized states
+        self.win = states
+        self.x = states[W - 1]
+        self.x = dataclasses.replace(self.x, cov=NavState.identity().cov)
+        self._gravity = states.g[0]
+        self.levels = vm.empty_map(cfg.map)
+        for i in range(W):
+            self.levels = self._jit_push(
+                self.levels, states[i], jnp.array(self.scan_buf[i]),
+                jnp.array(self.scan_mask[i]), jnp.array(self.scan_tr[i]),
+                self.mp[i], self.jour)
+        self.levels = self._refresh_now()
+        # re-integrate the window preints at the optimized biases
+        self._preint_list = []
+        for i in range(1, W):
+            self._preint_list.append(self._jit_integrate(
+                jnp.array(self.imu_buf_g[i]), jnp.array(self.imu_buf_a[i]),
+                jnp.array(self.imu_buf_dt[i]), jnp.array(self.imu_buf_m[i]),
+                states.bg[i - 1], states.ba[i - 1]))
+        self.init_done = True
+        self.preints_dev = _stack(self._preint_list)
+        r0, r1 = self._do_ba_slide()
+        return {"phase": "init_done", "g_norm": g_norm, "ev0": float(ev0),
+                "ba_r0": r0, "ba_r1": r1}
+
+    def _refresh_now(self):
+        return self._jit_refresh(self.levels, self.win, self.mp,
+                                 jnp.int32(self.win_count))
+
+    # --- steady phase ----------------------------------------------------
+
+    def _do_ba_slide(self):
+        """Window BA + marginalize + slide (host wrapper; init path only —
+        the steady phase uses the fused megastep)."""
+        cfg = self.cfg
+        W = cfg.lba.win_size
+        mg = cfg.lba.mgsize
+        preints = _stack(self._preint_list[-(W - 1):])
+        levels, new_win, win_shift, mp_new, v6, r0, r1 = \
+            self._jit_ba_slide(self.levels, self.win, preints, self.mp)
+        for k in range(mg):
+            s = new_win[k]
+            self.scan_poses.append(ScanPose(
+                t=float(s.t), R=np.asarray(s.R), p=np.asarray(s.p),
+                v=np.asarray(s.v), v6=np.asarray(v6),
+                cloud=self.scan_buf[k].copy(),
+                cloud_mask=self.scan_mask[k].copy(),
+                session=self.session))
+        self.levels = levels
+        self.win = win_shift
+        self.mp = mp_new
+        self.x = new_win[W - 1]
+        self.scan_buf = np.roll(self.scan_buf, -mg, axis=0)
+        self.scan_mask = np.roll(self.scan_mask, -mg, axis=0)
+        self.scan_tr = np.roll(self.scan_tr, -mg, axis=0)
+        self._preint_list = self._preint_list[mg:]
+        self.win_count = W - mg
+        return float(r0), float(r1)
+
+    def _process_steady_fused(self, ts_j, gyr_j, acc_j, imask, t_beg,
+                               t_end, last_end, pts_j, off_j, pmask):
+        """Steady phase: ONE fused device call per scan."""
+        cfg = self.cfg
+        W = cfg.lba.win_size
+        mg = cfg.lba.mgsize
+
+        imu_blob = jnp.array(np.concatenate(
+            [ts_j[:, None], gyr_j, acc_j, imask[:, None]],
+            axis=1, dtype=np.float32))
+        scan_blob = jnp.array(np.concatenate(
+            [pts_j, off_j[:, None], pmask[:, None]], axis=1, dtype=np.float32))
+        scal = jnp.array([t_beg, t_end, last_end, self.jour], jnp.float32)
+        (x_out, levels, win_next, mp_new, preints, stats,
+         down, dmask, tr) = self._jit_megastep(
+            self.x, self.levels, self.win, self.mp, self.preints_dev,
+            imu_blob, scan_blob, scal)
+
+        self.x = x_out
+        self.levels = levels
+        self.win = win_next
+        self.mp = mp_new
+        self.preints_dev = preints
+        self.scan_count += 1
+
+        st = np.asarray(stats)  # ONE packed device->host fetch
+        ok = bool(st[0] > 0)
+        matches, nnt_eig0, r0, r1 = st[1], st[2], st[3], st[4]
+        v6_np = st[5:11]
+        off = 11
+        e_t = st[off:off + mg]
+        e_R = st[off + mg:off + mg + 9 * mg].reshape(mg, 3, 3)
+        e_p = st[off + 10 * mg:off + 13 * mg].reshape(mg, 3)
+        e_v = st[off + 13 * mg:off + 16 * mg].reshape(mg, 3)
+        self.jour += float(np.linalg.norm(e_p[-1] - self._last_p)) \
+            if self._last_p is not None else 0.0
+        self._last_p = e_p[-1]
+
+        # divergence bookkeeping (reference :1893-1947)
+        self.degrade_cnt = max(0, self.degrade_cnt - 1) if ok \
+            else self.degrade_cnt + 1
+        if self.degrade_cnt > cfg.odom.degrade_bound:
+            self.reset(session=self.session + 1)
+            return {"phase": "reset", "session": self.session}
+
+        # record the new scan's cloud at logical slot W-1, emit the
+        # marginalized scans, then roll the host-side cloud buffers
+        if self.collect_clouds:
+            self.scan_buf[W - 1] = np.asarray(down)
+            self.scan_mask[W - 1] = np.asarray(dmask)
+            self.scan_tr[W - 1] = np.asarray(tr)
+        for k in range(mg):
+            self.scan_poses.append(ScanPose(
+                t=float(e_t[k]), R=e_R[k], p=e_p[k], v=e_v[k], v6=v6_np,
+                cloud=self.scan_buf[k].copy(),
+                cloud_mask=self.scan_mask[k].copy(),
+                session=self.session))
+        self.scan_buf = np.roll(self.scan_buf, -mg, axis=0)
+        self.scan_mask = np.roll(self.scan_mask, -mg, axis=0)
+        self.scan_tr = np.roll(self.scan_tr, -mg, axis=0)
+        self.win_count = W - mg
+
+        return {"phase": "odom", "ok": ok, "matches": int(matches),
+                "nnt_eig0": float(nnt_eig0), "t": t_end,
+                "ba_r0": float(r0), "ba_r1": float(r1)}
+
+    def flush(self):
+        """Emit remaining window states as ScanPoses (end of run)."""
+        for k in range(self.win_count):
+            s = self.win[k]
+            self.scan_poses.append(ScanPose(
+                t=float(s.t), R=np.asarray(s.R), p=np.asarray(s.p),
+                v=np.asarray(s.v), v6=np.ones(6, np.float32),
+                cloud=self.scan_buf[k].copy(),
+                cloud_mask=self.scan_mask[k].copy(),
+                session=self.session))
+        self.win_count = 0
+        return self.scan_poses
