@@ -30,7 +30,7 @@ def run_sequence(duration=5.0, scan_hz=10.0, imu_hz=200.0, n_az=110, n_el=12,
                  noise=0.01, speed=1.0, cfg=None, scan_cb=None):
     cfg = cfg or e2e_config()
     traj = sim.make_trajectory(duration=duration + 0.5, speed=speed,
-                               wobble=0.25, yaw_rate=0.3)
+                               wobble=0.25, yaw_rate=0.3, still=0.45)
     normals, dsp = sim.box_room(half_extent=(14.0, 12.0, 3.5),
                                 center=(4.0, 0.0, 1.0))
     pipe = SlamPipeline(cfg)

@@ -66,7 +66,8 @@ class Trajectory:
 
 
 def make_trajectory(duration=10.0, dt=1e-3, speed=1.0, yaw_rate=0.25,
-                    wobble=0.3, z_amp=0.15, seed=0, ramp=1.0) -> Trajectory:
+                    wobble=0.3, z_amp=0.15, seed=0, ramp=1.0,
+                    still=0.0) -> Trajectory:
     """Smooth figure-ish path: forward motion + yaw + sinusoidal roll/pitch/z.
 
     Angular velocity is analytic; orientation is integrated at dt with the
@@ -74,14 +75,16 @@ def make_trajectory(duration=10.0, dt=1e-3, speed=1.0, yaw_rate=0.25,
     body x-axis with analytic world acceleration via finite differences of
     an analytic velocity (errors O(dt^2), far below test tolerances).
 
-    `ramp` smoothly scales all motion from rest over the first `ramp`
-    seconds (handheld/vehicle sequences start stationary, which is what
-    the reference's initialization expects of its demo datasets).
+    The platform is exactly stationary for the first `still` seconds, then
+    all motion smoothly ramps from rest over the next `ramp` seconds. The
+    reference's static IMU initialization (running mean of acc/gyr,
+    ekf_imu.hpp:167-195) assumes such a still period — its README tells
+    users to keep the device still at startup.
     """
     M = int(duration / dt) + 1
     ts = np.arange(M) * dt
-    s = np.clip(ts / max(ramp, 1e-6), 0.0, 1.0)
-    s = s * s * (3.0 - 2.0 * s)  # smoothstep: zero velocity AND accel at t=0
+    s = np.clip((ts - still) / max(ramp, 1e-6), 0.0, 1.0)
+    s = s * s * (3.0 - 2.0 * s)  # smoothstep: zero velocity AND accel at onset
     omega = np.stack([
         wobble * 0.6 * np.sin(2 * np.pi * 0.33 * ts),
         wobble * np.sin(2 * np.pi * 0.21 * ts + 1.0),
@@ -143,6 +146,112 @@ def box_room(half_extent=(12.0, 10.0, 3.0), center=(0.0, 0.0, 1.0)):
     return normals, ds
 
 
+@dataclasses.dataclass
+class Scene:
+    """Bounded planar patches: n.x + d = 0 within +-half extents along
+    in-plane bases (e1, e2) around `centers`. Infinite patches (the room
+    shell) use half = inf."""
+    normals: np.ndarray   # (P, 3)
+    ds: np.ndarray        # (P,)
+    centers: np.ndarray   # (P, 3)
+    e1: np.ndarray        # (P, 3)
+    e2: np.ndarray        # (P, 3)
+    half1: np.ndarray     # (P,)
+    half2: np.ndarray     # (P,)
+
+    @staticmethod
+    def from_planes(normals, ds):
+        P = len(normals)
+        normals = np.asarray(normals, np.float64)
+        e1 = np.cross(normals, np.where(
+            np.abs(normals[:, 2:3]) < 0.9, [0, 0, 1.0], [1.0, 0, 0]))
+        e1 /= np.linalg.norm(e1, axis=-1, keepdims=True)
+        e2 = np.cross(normals, e1)
+        centers = -normals * np.asarray(ds)[:, None]
+        return Scene(normals=normals, ds=np.asarray(ds, np.float64),
+                     centers=centers, e1=e1, e2=e2,
+                     half1=np.full(P, np.inf), half2=np.full(P, np.inf))
+
+    def __add__(self, other: "Scene") -> "Scene":
+        return Scene(*[np.concatenate([getattr(self, f.name),
+                                       getattr(other, f.name)])
+                       for f in dataclasses.fields(Scene)])
+
+
+def box_scene(center, size) -> Scene:
+    """Axis-aligned box (e.g. a pillar / crate) as 6 bounded faces with
+    outward normals."""
+    c = np.asarray(center, np.float64)
+    h = np.asarray(size, np.float64) / 2.0
+    normals, centers, e1s, e2s, h1s, h2s = [], [], [], [], [], []
+    for ax in range(3):
+        for sgn in (-1.0, 1.0):
+            n = np.zeros(3)
+            n[ax] = sgn
+            a1, a2 = [i for i in range(3) if i != ax]
+            e1 = np.zeros(3)
+            e1[a1] = 1.0
+            e2 = np.zeros(3)
+            e2[a2] = 1.0
+            normals.append(n)
+            centers.append(c + n * h[ax])
+            e1s.append(e1)
+            e2s.append(e2)
+            h1s.append(h[a1])
+            h2s.append(h[a2])
+    normals = np.stack(normals)
+    centers = np.stack(centers)
+    ds = -np.einsum("ij,ij->i", normals, centers)
+    return Scene(normals=normals, ds=ds, centers=centers,
+                 e1=np.stack(e1s), e2=np.stack(e2s),
+                 half1=np.array(h1s), half2=np.array(h2s))
+
+
+def make_scene(half_extent=(14.0, 12.0, 3.5), center=(4.0, 0.0, 1.0),
+               pillars=8, seed=3) -> Scene:
+    """Room shell + randomly placed box pillars — enough corner structure
+    for place recognition (BTC projection-image corners need occupancy
+    discontinuities that bare walls lack)."""
+    normals, ds = box_room(half_extent, center)
+    scene = Scene.from_planes(normals, ds)
+    rng = np.random.default_rng(seed)
+    hx, hy, hz = half_extent
+    cx, cy, cz = center
+    for _ in range(pillars):
+        px = cx + rng.uniform(-hx + 3, hx - 3)
+        py = cy + rng.uniform(-hy + 3, hy - 3)
+        sx, sy = rng.uniform(0.6, 2.5, 2)
+        sz = rng.uniform(1.5, 2 * hz - 0.5)
+        if abs(px) < 4 and abs(py) < 4:
+            continue  # keep the trajectory region clear
+        scene = scene + box_scene((px, py, cz - hz + sz / 2), (sx, sy, sz))
+    return scene
+
+
+def sample_scene(scene: Scene, per_m2: float = 8.0, clip: float = 16.0,
+                 seed: int = 0, noise: float = 0.0) -> np.ndarray:
+    """Area-weighted random surface samples of a Scene (world frame) —
+    a stand-in for an accumulated keyframe cloud in loop/GBA tests.
+    Infinite shell patches are clipped to +-clip metres."""
+    rng = np.random.default_rng(seed)
+    pts = []
+    h1 = np.minimum(scene.half1, clip)
+    h2 = np.minimum(scene.half2, clip)
+    for i in range(len(scene.normals)):
+        area = 4.0 * h1[i] * h2[i]
+        n = max(int(area * per_m2), 4)
+        u = rng.uniform(-h1[i], h1[i], n)
+        v = rng.uniform(-h2[i], h2[i], n)
+        p = (scene.centers[i][None]
+             + u[:, None] * scene.e1[i][None]
+             + v[:, None] * scene.e2[i][None])
+        pts.append(p)
+    out = np.concatenate(pts)
+    if noise > 0:
+        out = out + rng.normal(0, noise, out.shape)
+    return out
+
+
 def scan_directions(n_az=64, n_el=16, fov_el=(-0.4, 0.3)):
     """Unit ray directions in sensor frame, row-major az-sweep (mimics a
     spinning LiDAR so per-point time grows with azimuth)."""
@@ -153,26 +262,44 @@ def scan_directions(n_az=64, n_el=16, fov_el=(-0.4, 0.3)):
     return d.reshape(-1, 3), (aa.reshape(-1) + np.pi) / (2 * np.pi)  # dirs, phase
 
 
-def raycast(origin, R, dirs, normals, ds, max_range=80.0, min_range=0.5):
-    """Cast rays from world pose (R, origin); returns (points_sensor, hit)."""
+def raycast(origin, R, dirs, scene, ds=None, max_range=80.0, min_range=0.5):
+    """Cast rays from world pose (R, origin) against a Scene (or legacy
+    (normals, ds) infinite planes); returns (points_sensor, hit)."""
+    if ds is not None:
+        scene = Scene.from_planes(scene, ds)
     wd = dirs @ R.T                                # world directions (N, 3)
-    denom = wd @ normals.T                         # (N, P)
-    num = -(origin @ normals.T + ds)               # (P,)
+    denom = wd @ scene.normals.T                   # (N, P)
+    num = -(origin @ scene.normals.T + scene.ds)   # (P,)
     with np.errstate(divide="ignore", invalid="ignore"):
         t = num[None, :] / denom
     t = np.where((denom < -1e-9) | (denom > 1e-9), t, np.inf)
     t = np.where(t > min_range, t, np.inf)
+    # bounded patches: hit point must lie within +-half along (e1, e2)
+    finite = np.isfinite(scene.half1) | np.isfinite(scene.half2)
+    if np.any(finite):
+        with np.errstate(invalid="ignore"):
+            pt = origin[None, None, :] + t[:, :, None] * wd[:, None, :]
+            rel = pt - scene.centers[None]
+            u = np.einsum("npi,pi->np", rel, scene.e1)
+            v = np.einsum("npi,pi->np", rel, scene.e2)
+            inside = ((np.abs(u) <= scene.half1[None])
+                      & (np.abs(v) <= scene.half2[None]))
+        t = np.where(np.isfinite(t) & (~finite[None] | inside), t, np.inf)
     thit = t.min(axis=1)
     hit = np.isfinite(thit) & (thit < max_range)
     thit = np.where(hit, thit, 0.0)
     return dirs * thit[:, None], hit
 
 
-def lidar_scan(traj: Trajectory, t_beg, t_end, normals, ds, n_az=64, n_el=16,
-               noise=0.0, seed=0, max_range=80.0):
+def lidar_scan(traj: Trajectory, t_beg, t_end, normals, ds=None, n_az=64,
+               n_el=16, noise=0.0, seed=0, max_range=80.0):
     """One motion-distorted scan: each column of rays is cast from the pose
-    at its own timestamp. Returns dict with points (sensor frame AT SAMPLE
-    TIME — i.e. distorted), per-point offsets (s, from t_beg), hit mask."""
+    at its own timestamp. `normals` may be a Scene (then ds is ignored) or
+    legacy (P,3) plane normals with `ds`. Returns dict with points (sensor
+    frame AT SAMPLE TIME — i.e. distorted), per-point offsets (s, from
+    t_beg), hit mask."""
+    scene = normals if isinstance(normals, Scene) \
+        else Scene.from_planes(normals, ds)
     dirs, phase = scan_directions(n_az, n_el)
     t_pts = t_beg + phase * (t_end - t_beg)
     rng = np.random.default_rng(seed)
@@ -185,7 +312,8 @@ def lidar_scan(traj: Trajectory, t_beg, t_end, normals, ds, n_az=64, n_el=16,
     for c in range(0, len(dirs_o), n_per):
         tc = t_o[c]
         R, p, _ = traj.state_at(tc)
-        pc, hc = raycast(p, R, dirs_o[c:c + n_per], normals, ds, max_range)
+        pc, hc = raycast(p, R, dirs_o[c:c + n_per], scene,
+                         max_range=max_range)
         pts[order[c:c + n_per]] = pc
         hit[order[c:c + n_per]] = hc
     if noise > 0:

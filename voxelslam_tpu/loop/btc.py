@@ -59,8 +59,14 @@ class BtcConfig:
 
 
 def _extract_planes(cloud, mask, cfg: BtcConfig):
-    """Single-level voxel plane detection. Returns (centers, normals,
-    valid) padded to cfg.max_planes, sorted by point count."""
+    """Voxel plane detection + coplanar merging. Returns (centers,
+    normals, valid, count) padded to cfg.max_planes, biggest first.
+
+    The reference merges voxel planes into large projection planes
+    (get_project_plane/merge_plane, BTC.cpp:340-569) so descriptors
+    project onto a handful of stable dominant planes; here the merge is
+    a second hash pass keyed by the sign-canonicalized quantized
+    (normal, offset) — same effect, fully batched."""
     N = cloud.shape[0]
     keys = vh.voxel_key(cloud, cfg.voxel_size)
     uniq, uvalid, inv = vh.dedup_keys(keys, mask > 0, 4096)
@@ -76,10 +82,30 @@ def _extract_planes(cloud, mask, cfg: BtcConfig):
     lam, V = eigh3(S / jnp.maximum(n, 1.0)[:, None, None])
     is_plane = uvalid & (n >= cfg.plane_min_points) & \
         (lam[:, 0] < cfg.plane_eig_thr)
-    # keep the biggest planes
-    score = jnp.where(is_plane, n, -1.0)
+
+    # merge coplanar voxel planes: quantized (normal, plane offset) key
+    nrm = V[:, :, 0]
+    flip = (nrm[:, 0] + 0.1 * nrm[:, 1] + 0.01 * nrm[:, 2]) < 0
+    nrm = jnp.where(flip[:, None], -nrm, nrm)
+    off = jnp.einsum("ui,ui->u", nrm, mu)
+    qn = jnp.round(nrm / 0.25).astype(jnp.int32)        # [-4, 4]
+    qd = jnp.round(off / 0.5).astype(jnp.int32)
+    mkeys = jnp.stack([qn[:, 0] * 9 + qn[:, 1], qn[:, 2], qd], axis=-1)
+    M = cfg.max_planes * 8
+    muniq, muvalid, minv = vh.dedup_keys(mkeys, is_plane, M)
+    mseg = jnp.where(minv >= 0, minv, M)
+    mw = (is_plane & (minv >= 0)).astype(cloud.dtype) * n
+    mn = jnp.zeros((M,)).at[mseg].add(mw, mode="drop")
+    mc = jnp.zeros((M, 3)).at[mseg].add(mu * mw[:, None], mode="drop")
+    mnv = jnp.zeros((M, 3)).at[mseg].add(nrm * mw[:, None], mode="drop")
+    centers = mc / jnp.maximum(mn, 1.0)[:, None]
+    normals = mnv / jnp.maximum(
+        jnp.linalg.norm(mnv, axis=-1, keepdims=True), 1e-9)
+    valid = muvalid & (mn > 0)
+
+    score = jnp.where(valid, mn, -1.0)
     top = jax.lax.top_k(score, cfg.max_planes)[1]
-    return mu[top], V[top][:, :, 0], is_plane[top], n[top]
+    return centers[top], normals[top], valid[top], mn[top]
 
 
 def _project_corners(cloud, mask, centers, normals, pvalid, cfg: BtcConfig):
@@ -106,7 +132,9 @@ def _project_corners(cloud, mask, centers, normals, pvalid, cfg: BtcConfig):
     h = jnp.einsum("pni,pi->pn", rel, normals)
     gx = jnp.floor(u / cfg.image_res).astype(jnp.int32) + G // 2
     gy = jnp.floor(v / cfg.image_res).astype(jnp.int32) + G // 2
-    hs = jnp.floor(h / cfg.slice_height).astype(jnp.int32)
+    # symmetric height window: merged-plane normals are sign-canonical,
+    # so structure may rise to either side of the plane
+    hs = jnp.floor(h / cfg.slice_height).astype(jnp.int32) + S // 2
     ok = ((mask[None, :] > 0) & (gx >= 0) & (gx < G) & (gy >= 0) & (gy < G)
           & (hs >= 0) & (hs < S) & pvalid[:, None])
 
@@ -130,8 +158,26 @@ def _project_corners(cloud, mask, centers, normals, pvalid, cfg: BtcConfig):
     vals, idx = jax.lax.top_k(flat_sum, C)                 # (P, C)
     cx = idx // G
     cy = idx % G
-    uu = (cx - G // 2 + 0.5) * cfg.image_res
-    vv = (cy - G // 2 + 0.5) * cfg.image_res
+    # sub-cell refinement: summary-weighted centroid over the 3x3
+    # neighbourhood — independent samplings of the same scene otherwise
+    # jitter the argmax by whole cells (the reference averages the point
+    # positions inside the peak cell, BTC.cpp:869-894)
+    wsum = jnp.zeros(cx.shape)
+    du = jnp.zeros(cx.shape)
+    dv = jnp.zeros(cx.shape)
+    pij = jnp.broadcast_to(jnp.arange(P)[:, None], cx.shape)
+    for ddx in (-1, 0, 1):
+        for ddy in (-1, 0, 1):
+            nx = jnp.clip(cx + ddx, 0, G - 1)
+            ny = jnp.clip(cy + ddy, 0, G - 1)
+            s = summary[pij, nx, ny]
+            wsum = wsum + s
+            du = du + s * ddx
+            dv = dv + s * ddy
+    du = du / jnp.maximum(wsum, 1e-6)
+    dv = dv / jnp.maximum(wsum, 1e-6)
+    uu = (cx - G // 2 + 0.5 + du) * cfg.image_res
+    vv = (cy - G // 2 + 0.5 + dv) * cfg.image_res
     corners = (centers[:, None, :] + uu[..., None] * t1[:, None, :]
                + vv[..., None] * t2[:, None, :])           # (P, C, 3)
     binary = jnp.take_along_axis(
@@ -162,8 +208,14 @@ def _triangles(corners, summary, binary, cvalid, cfg: BtcConfig):
     sides = jnp.take_along_axis(sides, order, axis=-1)
     ok = (tri_mask & val[ii] & val[jj] & val[kk]
           & (sides[:, 0] >= cfg.min_side) & (sides[:, 2] <= cfg.max_side))
-    verts = jnp.stack([pts[ii], pts[jj], pts[kk]], axis=1)  # (T, 3, 3)
-    vbins = jnp.stack([bins[ii], bins[jj], bins[kk]], axis=1)
+    # vertex order must FOLLOW the side sort so matched triangles have
+    # vertex-level correspondence for the SVD solver (the reference's STD
+    # stores vertex_A/B/C aligned with sorted sides, BTC.cpp:979-1126):
+    # store the vertex OPPOSITE each sorted side.
+    opp = jnp.stack([pts[kk], pts[jj], pts[ii]], axis=1)    # opposite of
+    obin = jnp.stack([bins[kk], bins[jj], bins[ii]], axis=1)  # d_ij,d_ik,d_jk
+    verts = jnp.take_along_axis(opp, order[:, :, None], axis=1)  # (T, 3, 3)
+    vbins = jnp.take_along_axis(obin, order[:, :, None], axis=1)
     return sides, verts, vbins, ok
 
 
@@ -217,8 +269,19 @@ class DescriptorDB:
         for t_local, q in zip(np.where(ok)[0], qs):
             self.db[tuple(q)].append((frame_id, int(t_local)))
 
-    def search(self, desc, skip_near: int = 10, current_frame: int = 1 << 30):
-        """Vote candidate frames for a query keyframe. Returns
+    @staticmethod
+    def _binary_sim(b1: np.ndarray, b2: np.ndarray) -> float:
+        """Occupancy-code similarity 2|b1&b2|/(|b1|+|b2|) averaged over
+        the 3 vertices (reference binary_similarity, BTC.cpp:1345-1360)."""
+        inter = np.minimum(b1, b2).sum()
+        tot = b1.sum() + b2.sum()
+        return 2.0 * inter / max(tot, 1e-6)
+
+    def search(self, desc, skip_near: int = 10, current_frame: int = 1 << 30,
+               binary_thr: float = 0.6):
+        """Vote candidate frames for a query keyframe; a side-hash hit
+        only votes when the vertex occupancy codes agree (the reference's
+        binary check inside candidate_selector). Returns
         [(frame, votes, matches)] sorted by votes; matches are
         (query tri idx, target tri idx) pairs."""
         d = {k: np.asarray(v) for k, v in desc.items()}
@@ -226,6 +289,7 @@ class DescriptorDB:
         votes = defaultdict(list)
         qs = self._qkey(d["sides"][ok])
         for t_local, q in zip(ok, qs):
+            qb = d["binary"][t_local]
             for da in (-1, 0, 1):
                 for db_ in (-1, 0, 1):
                     for dc in (-1, 0, 1):
@@ -233,6 +297,9 @@ class DescriptorDB:
                         for (f, tt) in self.db.get(key, ()):  # noqa
                             if current_frame - f <= skip_near and \
                                     f <= current_frame:
+                                continue
+                            tb = self.frames[f]["binary"][tt]
+                            if self._binary_sim(qb, tb) < binary_thr:
                                 continue
                             votes[f].append((int(t_local), tt))
         cand = sorted(votes.items(), key=lambda kv: -len(kv[1]))

@@ -148,6 +148,49 @@ def insert_scan(levels, cfg: MapConfig, pts_world, pts_local, tr_pt, mask,
     )
 
 
+def insert_fixed_level(lv: VoxelLevel, level_size: float, unique_max: int,
+                       pts_world: jnp.ndarray, tr_pt: jnp.ndarray,
+                       mask: jnp.ndarray, jour) -> VoxelLevel:
+    """Insert world-frame points directly into the fixed (marginalized)
+    statistics — the reference's keyframe-reload `cut_voxel` variant
+    (voxel_map.hpp:2108-2152) used by loop_update / keyframe_loading."""
+    C = lv.keys.shape[0]
+    keys = vh.voxel_key(pts_world, level_size)
+    uniq, uvalid, inv = vh.dedup_keys(keys, mask > 0, unique_max)
+    occ_before = lv.occ
+    tkeys, occ, uslots = vh.insert(lv.keys, lv.occ, uniq, uvalid)
+
+    pslot = jnp.where(inv >= 0, uslots[jnp.maximum(inv, 0)], -1)
+    ok = (mask > 0) & (pslot >= 0)
+    seg = jnp.where(ok, pslot, C)
+    w = ok.astype(pts_world.dtype)
+
+    n_add = jnp.zeros((C,)).at[seg].add(w, mode="drop")
+    sum_p = jnp.zeros((C, 3)).at[seg].add(pts_world * w[:, None], mode="drop")
+    mu_add = sum_p / jnp.maximum(n_add, 1.0)[:, None]
+    d = (pts_world - mu_add[jnp.maximum(pslot, 0)]) * w[:, None]
+    S_add = jnp.zeros((C, 3, 3)).at[seg].add(
+        d[:, :, None] * d[:, None, :], mode="drop")
+    tr_add = jnp.zeros((C,)).at[seg].add(tr_pt * w, mode="drop")
+
+    fix = cl.merge(lv.fix, Cluster(n=n_add, mu=mu_add, S=S_add))
+    fix_tr = lv.fix_tr + tr_add
+
+    newly = uvalid & (uslots >= 0) & ~occ_before[jnp.maximum(uslots, 0)]
+    jour_arr = lv.jour.at[jnp.where(newly, uslots, C)].set(
+        jnp.float32(jour), mode="drop")
+    return dataclasses.replace(lv, keys=tkeys, occ=occ, fix=fix,
+                               fix_tr=fix_tr, jour=jour_arr)
+
+
+def insert_fixed(levels, cfg: MapConfig, pts_world, tr_pt, mask, jour=0.0):
+    return tuple(
+        insert_fixed_level(lv, cfg.level_size(l), cfg.unique_max[l],
+                           pts_world, tr_pt, mask, jour)
+        for l, lv in enumerate(levels)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Plane refresh (reference recut + plane_update, voxel_map.hpp:1344-1456)
 # ---------------------------------------------------------------------------

@@ -44,16 +44,23 @@ def knn(query: jnp.ndarray, ref: jnp.ndarray, ref_mask: jnp.ndarray,
 
 
 def plane_fit_nn(query_world: jnp.ndarray, ref: jnp.ndarray,
-                 ref_mask: jnp.ndarray, resid_thr: float = 0.1):
+                 ref_mask: jnp.ndarray, resid_thr: float = 0.1,
+                 max_dist2: float = 4.0):
     """5-NN plane fit per query (reference lio_state_estimation_kdtree,
     voxelslam.cpp:1159-1191): solve A x = -1 for the plane in Hesse-like
     form, check all 5 residuals, return unit normal + offset.
+
+    Unlike the reference's kd-tree (which only ever holds real points),
+    the padded brute-force table can return masked/padding slots as
+    "neighbours" — so a fit is only valid when all NMATCH neighbours are
+    real (finite distance) and within sqrt(max_dist2) metres.
 
     Returns dict(valid, normal (N,3), d (N,)) with plane n.x + d = 0.
     """
     from ..core.eig3 import eigh3
 
     idx, d2 = knn(query_world, ref, ref_mask, NMATCH)
+    nn_ok = jnp.all(jnp.isfinite(d2) & (d2 <= max_dist2), axis=-1)
     A = ref[idx]  # (N, 5, 3)
     # centered eigen fit — the reference solves A x = -1 in f64
     # (colPivHouseholderQr); in f32 that system is ill-conditioned
@@ -69,7 +76,7 @@ def plane_fit_nn(query_world: jnp.ndarray, ref: jnp.ndarray,
     resid = jnp.abs(jnp.einsum("nki,ni->nk", A, normal) + d[:, None])
     ok = jnp.all(resid <= resid_thr * jnp.maximum(jnp.abs(d)[:, None], 1e-6),
                  axis=-1)
-    valid = ok & jnp.all(jnp.isfinite(normal), axis=-1)
+    valid = ok & nn_ok & jnp.all(jnp.isfinite(normal), axis=-1)
     # zero out invalid rows so masked downstream math never sees NaN/inf
     normal = jnp.where(valid[:, None], normal, 0.0)
     d = jnp.where(valid, d, 0.0)

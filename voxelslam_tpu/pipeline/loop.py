@@ -1,0 +1,411 @@
+"""Loop-closure pipeline (the reference's loop thread, deterministic).
+
+Capability parity with `thd_loop_closure` (voxelslam.cpp:2158-2714 in
+the reference tree), restructured as an explicit per-scan-pose step the
+system calls between odometry scans (the reference's thread consumes the
+same `buf_lba2loop` stream asynchronously and signals back through
+`loop_detect` flags; here the correction is the return value, applied at
+the same point in the pipeline — between scans):
+
+  * scan-pose accumulation into the multi-session pose graph
+    (odometry BetweenFactors with local-BA variances, :2303-2323)
+  * keyframe creation every win_size scans behind a motion gate
+    (ang >= 5 deg or len >= 0.1 m, :2336-2345), merging the window's
+    clouds into the last scan's body frame and downsampling
+  * BTC descriptor extraction + search across ALL sessions (:2406-2421)
+  * ICP refinement of hits + drift-ratio gates (same-session
+    drift/span < ratio_drift, :2454; cross-session < 0.05, :2491)
+  * pose-graph optimization (our GN solver replaces GTSAM/ISAM2,
+    :2552-2561) with hysteresis counters curr_halt/prev_halt
+  * write-back of all sessions' poses and keyframes, correction
+    dx = x3 o x1^-1, live-map keyframes (last 5) for the odometry map
+    rebuild (:2569-2648)
+
+Cross-session first contact rebuilds the graph over the newly reachable
+session set (build_graph, :2078-2154) and flags a gravity re-rotation
+(g_update), exactly like the reference's new-session relocalization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..core import so3
+from ..loop.btc import BtcConfig, DescriptorDB, extract as btc_extract, \
+    triangle_svd
+from ..loop.icp import icp_point_to_plane
+from ..loop import posegraph as pg
+from ..ops.downsample import voxel_downsample
+
+
+@dataclasses.dataclass
+class Keyframe:
+    """10-scan merged submap (reference Keyframe, voxel_map.hpp:978-1006).
+    `cloud` is in the body frame of pose (R0, p0) (the last scan)."""
+    kf_index: int          # index in its session's keyframe list
+    scan_id: int           # last scan id within the session
+    session: int
+    R0: np.ndarray
+    p0: np.ndarray
+    cloud: np.ndarray      # (Kp, 3) downsampled body-frame
+    mask: np.ndarray       # (Kp,)
+    jour: float
+    exist: bool = True
+
+
+@dataclasses.dataclass
+class LoopEdge:
+    """Cross/intra-session loop constraint (reference PGO_Edge,
+    loop_refine.hpp:163-204)."""
+    id_a: int              # session of the matched (older) scan
+    id_b: int              # session of the current scan
+    ord_a: int             # scan index within session a
+    ord_b: int             # scan index within session b
+    R: np.ndarray          # relative pose: x_a o T = x_b
+    t: np.ndarray
+    v6: np.ndarray         # diagonal variance
+
+
+@dataclasses.dataclass
+class LoopCorrection:
+    """What the odometry pipeline needs to apply after a PGO burst
+    (reference loop_update inputs: dx, map_loop, g_update)."""
+    dx_R: np.ndarray
+    dx_p: np.ndarray
+    g_update: bool
+    map_keyframes: list    # last <=5 keyframes (world clouds) for rebuild
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+class LoopPipeline:
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.btc_cfg = BtcConfig(is_high_fly=cfg.loop.is_high_fly)
+        W = cfg.lba.win_size
+        self.kf_point_max = 8192
+
+        # per-session state (reference multimap_* vectors)
+        self.scan_poses: list[list] = []      # ScanPose streams
+        self.keyframes: list[list[Keyframe]] = []
+        self.dbs: list[DescriptorDB] = []
+        self.juds: list[float] = []
+        self.jours: list[float] = []
+        self.relc_counts: list[int] = []
+        self.lp_edges: list[LoopEdge] = []
+        # sessions currently inside the optimized graph (reference ids)
+        self.graph_ids: list[int] = []
+
+        self._bl_local: list = []             # pending window for keyframes
+        self._x_key = None                    # last keyframe pose (R, p)
+
+        self._jit_merge = jax.jit(self._merge_keyframe)
+        self._jit_icp = jax.jit(partial(
+            icp_point_to_plane, icp_eigval=cfg.loop.icp_eigval))
+        self._extract = jax.jit(btc_extract, static_argnums=(2,))
+        self._pg_cache = {}
+
+    # -- session management -------------------------------------------------
+
+    def new_session(self, jud: float | None = None):
+        sid = len(self.scan_poses)
+        self.scan_poses.append([])
+        self.keyframes.append([])
+        self.dbs.append(DescriptorDB(self.btc_cfg))
+        self.juds.append(self.cfg.loop.jud_default if jud is None else jud)
+        self.jours.append(0.0)
+        self.relc_counts.append(0)
+        self._bl_local = []
+        self._x_key = None
+        if not self.graph_ids:
+            self.graph_ids = [sid]
+        return sid
+
+    @property
+    def cur_session(self) -> int:
+        return len(self.scan_poses) - 1
+
+    # -- device kernels -----------------------------------------------------
+
+    def _merge_keyframe(self, clouds, masks, Rs, ps, Rc, pc):
+        """Merge (W, P, 3) body-frame scan clouds into the last scan's
+        body frame and downsample at voxel_size/10 (reference :2360-2402).
+        """
+        W = clouds.shape[0]
+        rel_R = jnp.einsum("ji,njk->nik", Rc, Rs)          # Rc^T R_i
+        rel_p = jnp.einsum("ji,nj->ni", Rc, ps - pc[None])
+        moved = jnp.einsum("nij,npj->npi", rel_R, clouds) + rel_p[:, None]
+        flat = moved.reshape(-1, 3)
+        fmask = masks.reshape(-1)
+        vs = max(self.cfg.map.voxel_size / 10.0, 0.05)
+        down, dmask, _ = voxel_downsample(flat, fmask, vs, self.kf_point_max)
+        return down, dmask.astype(jnp.float32)
+
+    # -- main step ----------------------------------------------------------
+
+    def push(self, sp) -> LoopCorrection | None:
+        """Feed one ScanPose from the odometry/local-BA stream. Returns a
+        LoopCorrection when a PGO burst ran (the odometry pipeline must
+        then rebuild its live map), else None."""
+        cfg = self.cfg
+        W = cfg.lba.win_size
+        if not self.scan_poses:
+            self.new_session()
+        sid = self.cur_session
+        self.scan_poses[sid].append(sp)
+        self._bl_local.append(sp)
+        if self._x_key is None:
+            self._x_key = (sp.R, sp.p)
+
+        if len(self._bl_local) < W:
+            return None
+
+        xc_R, xc_p = self._bl_local[-1].R, self._bl_local[-1].p
+        ang = np.linalg.norm(so3_log_np(self._x_key[0].T @ xc_R)) * 57.3
+        length = float(np.linalg.norm(xc_p - self._x_key[1]))
+        if ang < 5.0 and length < 0.1 and len(self.scan_poses[sid]) > W:
+            self._bl_local.pop(0)
+            return None
+
+        for i in range(len(self.jours)):
+            self.jours[i] += length
+        self._x_key = (xc_R, xc_p)
+
+        # --- keyframe creation ---
+        group = self._bl_local[:W]
+        self._bl_local = []
+        clouds = jnp.array(np.stack([g.cloud for g in group]))
+        masks = jnp.array(np.stack([g.cloud_mask for g in group]))
+        Rs = jnp.array(np.stack([g.R for g in group]))
+        ps = jnp.array(np.stack([g.p for g in group]))
+        down, dmask = self._jit_merge(clouds, masks, Rs,
+                                      ps, jnp.array(xc_R), jnp.array(xc_p))
+        kf = Keyframe(
+            kf_index=len(self.keyframes[sid]),
+            scan_id=len(self.scan_poses[sid]) - 1,
+            session=sid, R0=np.asarray(xc_R), p0=np.asarray(xc_p),
+            cloud=np.asarray(down), mask=np.asarray(dmask),
+            jour=self.jours[sid])
+        self.keyframes[sid].append(kf)
+
+        # --- descriptor extraction + search across sessions ---
+        desc = self._extract(down, dmask, self.btc_cfg)
+        desc_np = {k: np.asarray(v) for k, v in desc.items()}
+        is_graph = False
+        is_opt = False
+        n_push = 0
+        for tid in range(len(self.dbs)):
+            skip = self.cfg.loop.descriptor_near_num if tid == sid else -1
+            hit = self._search_session(tid, desc_np, kf, skip)
+            if hit is None:
+                continue
+            m_kf, R_cm, t_cm = hit
+            # drift vs matched pose (reference :2440-2445)
+            xm = self.scan_poses[tid][m_kf.scan_id]
+            p_cur_in_m = xm.R @ t_cm + xm.p
+            drift_p = float(np.linalg.norm(p_cur_in_m - xc_p))
+
+            push_edge = False
+            if tid == sid:
+                span = kf.jour - m_kf.jour
+                if span > 0 and drift_p / span < cfg.loop.ratio_drift:
+                    push_edge = True
+                    if self.relc_counts[tid] > cfg.loop.curr_halt \
+                            and drift_p > 0.10:
+                        is_opt = True
+                        self.relc_counts = [0] * len(self.relc_counts)
+            else:
+                if tid not in self.graph_ids:
+                    is_graph = True
+                    is_opt = True
+                    push_edge = True
+                    self.relc_counts[tid] = 0
+                    self.jours[tid] = 0.0
+                elif self.jours[tid] > 0 and \
+                        drift_p / self.jours[tid] < 0.05:
+                    self.jours[tid] = 1e-6
+                    push_edge = True
+                    if self.relc_counts[tid] > cfg.loop.prev_halt \
+                            and drift_p > 0.25:
+                        is_opt = True
+                        self.relc_counts = [0] * len(self.relc_counts)
+
+            if push_edge:
+                n_push += 1
+                self.lp_edges.append(LoopEdge(
+                    id_a=tid, id_b=sid, ord_a=m_kf.scan_id,
+                    ord_b=kf.scan_id, R=R_cm, t=t_cm,
+                    v6=np.full(6, 1e-6)))
+
+        self.relc_counts = [c + 1 for c in self.relc_counts]
+        self.dbs[sid].add(kf.kf_index, desc_np)
+
+        if is_graph:
+            self._rebuild_graph_ids()
+        if not is_opt or n_push == 0:
+            return None
+        return self._optimize(g_update=is_graph)
+
+    # -- search + verify ----------------------------------------------------
+
+    def _search_session(self, tid: int, desc_np, kf: Keyframe, skip: int):
+        """BTC vote + SVD agreement + ICP refine against session `tid`.
+        Returns (matched keyframe, R_cm, t_cm) mapping current-kf body ->
+        matched-kf body, or None."""
+        db = self.dbs[tid]
+        cands = db.search(desc_np, skip_near=skip,
+                          current_frame=kf.kf_index if tid == kf.session
+                          else 1 << 30)
+        for frame_id, votes, matches in cands[:3]:
+            ver = db.verify(desc_np, frame_id, matches)
+            if ver is None or ver["overlap"] < self.juds[tid]:
+                continue
+            m_kf = self.keyframes[tid][frame_id]
+            out = self._jit_icp(
+                jnp.array(kf.cloud), jnp.array(kf.mask),
+                jnp.array(m_kf.cloud), jnp.array(m_kf.mask),
+                jnp.array(ver["R"], jnp.float32),
+                jnp.array(ver["t"], jnp.float32))
+            if not bool(out["ok"]):
+                continue
+            return m_kf, np.asarray(out["R"], np.float64), \
+                np.asarray(out["t"], np.float64)
+        return None
+
+    # -- pose graph ---------------------------------------------------------
+
+    def _rebuild_graph_ids(self):
+        """Reachable-session set from the current session through loop
+        edges (reference PGO_Edges::connect, loop_refine.hpp:237-265)."""
+        adj = {}
+        for e in self.lp_edges:
+            adj.setdefault(e.id_a, set()).add(e.id_b)
+            adj.setdefault(e.id_b, set()).add(e.id_a)
+        seen = set()
+        stack = [self.cur_session]
+        while stack:
+            s = stack.pop()
+            if s in seen:
+                continue
+            seen.add(s)
+            stack.extend(adj.get(s, ()))
+        self.graph_ids = sorted(seen)
+
+    def _optimize(self, g_update: bool) -> LoopCorrection:
+        """Batch GN over the multi-session BetweenFactor graph
+        (replaces ISAM2 bursts, reference :2552-2561)."""
+        ids = self.graph_ids
+        offs = {}
+        n = 0
+        for s in ids:
+            offs[s] = n
+            n += len(self.scan_poses[s])
+        K = _next_pow2(max(n, 2))
+
+        R = np.tile(np.eye(3), (K, 1, 1))
+        p = np.zeros((K, 3))
+        for s in ids:
+            for i, sp in enumerate(self.scan_poses[s]):
+                R[offs[s] + i] = sp.R
+                p[offs[s] + i] = sp.p
+
+        ii, jj, rel_R, rel_p, info = [], [], [], [], []
+        for s in ids:
+            sps = self.scan_poses[s]
+            for i in range(1, len(sps)):
+                a, b = sps[i - 1], sps[i]
+                ii.append(offs[s] + i - 1)
+                jj.append(offs[s] + i)
+                rel_R.append(a.R.T @ b.R)
+                rel_p.append(a.R.T @ (b.p - a.p))
+                info.append(1.0 / np.maximum(b.v6, 1e-8))
+        for e in self.lp_edges:
+            if e.id_a in offs and e.id_b in offs:
+                ii.append(offs[e.id_a] + e.ord_a)
+                jj.append(offs[e.id_b] + e.ord_b)
+                rel_R.append(e.R)
+                rel_p.append(e.t)
+                info.append(1.0 / np.maximum(e.v6, 1e-8))
+
+        E = _next_pow2(max(len(ii), 2))
+        pad = E - len(ii)
+        edge_mask = np.concatenate([np.ones(len(ii), bool),
+                                    np.zeros(pad, bool)])
+        ii = np.concatenate([ii, np.zeros(pad)]).astype(np.int32)
+        jj = np.concatenate([jj, np.zeros(pad)]).astype(np.int32)
+        rel_R = np.concatenate([rel_R, np.tile(np.eye(3), (pad, 1, 1))])
+        rel_p = np.concatenate([rel_p, np.zeros((pad, 3))])
+        info = np.concatenate([info, np.ones((pad, 6))])
+
+        key = (K, E)
+        if key not in self._pg_cache:
+            self._pg_cache[key] = jax.jit(
+                partial(pg.solve_pose_graph, iters=6))
+        x1_R = self.scan_poses[self.cur_session][-1].R.copy()
+        x1_p = self.scan_poses[self.cur_session][-1].p.copy()
+        R2, p2, chi = self._pg_cache[key](
+            jnp.array(R, jnp.float32), jnp.array(p, jnp.float32),
+            jnp.array(ii), jnp.array(jj),
+            jnp.array(rel_R, jnp.float32), jnp.array(rel_p, jnp.float32),
+            jnp.array(info, jnp.float32), jnp.array(edge_mask))
+        R2 = np.asarray(R2, np.float64)
+        p2 = np.asarray(p2, np.float64)
+
+        # write back poses + keyframes (reference :2569-2588)
+        for s in ids:
+            for i, sp in enumerate(self.scan_poses[s]):
+                newR, newp = R2[offs[s] + i], p2[offs[s] + i]
+                sp.v = newR @ sp.R.T @ sp.v
+                sp.R, sp.p = newR, newp
+            for kf in self.keyframes[s]:
+                src = self.scan_poses[s][kf.scan_id]
+                kf.R0, kf.p0 = src.R, src.p
+
+        x3 = self.scan_poses[self.cur_session][-1]
+        dx_R = x3.R @ x1_R.T
+        dx_p = x3.p - dx_R @ x1_p
+
+        # live-map keyframes: last 5 of the current session (:2602-2625)
+        kfs = self.keyframes[self.cur_session]
+        live = kfs[-5:]
+        for kf in live:
+            kf.exist = False
+        for kf in kfs[:-5]:
+            kf.exist = True
+        return LoopCorrection(dx_R=dx_R, dx_p=dx_p, g_update=g_update,
+                              map_keyframes=list(live))
+
+    # -- mid-term association ----------------------------------------------
+
+    def nearby_keyframe(self, p_curr: np.ndarray, radius: float = 10.0):
+        """One reloadable historical keyframe within `radius` of the
+        current position (reference keyframe_loading, voxelslam.cpp:
+        1379-1438); marks it consumed."""
+        for s in self.graph_ids if self.graph_ids else [self.cur_session]:
+            kfs = self.keyframes[s]
+            for kf in kfs:
+                if kf.exist and \
+                        np.linalg.norm(kf.p0 - p_curr) < radius:
+                    kf.exist = False
+                    return kf
+        return None
+
+
+def so3_log_np(R: np.ndarray) -> np.ndarray:
+    tr = np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    th = np.arccos(tr)
+    if th < 1e-8:
+        return np.zeros(3)
+    w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    return w * th / (2.0 * np.sin(th))

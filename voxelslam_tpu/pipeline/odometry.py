@@ -85,6 +85,7 @@ class SlamPipeline:
         self._jit_align = jax.jit(self._align_gravity)
         self._jit_integrate = jax.jit(self._integrate_preint)
         self._jit_refresh = jax.jit(self._refresh)
+        self._jit_push_fixed = jax.jit(self._push_fixed)
         self._jit_megastep = jax.jit(self._steady_megastep, donate_argnums=(1, 2, 4))
 
         self.reset(session=0, hard=True)
@@ -636,6 +637,69 @@ class SlamPipeline:
         return {"phase": "odom", "ok": ok, "matches": int(matches),
                 "nnt_eig0": float(nnt_eig0), "t": t_end,
                 "ba_r0": float(r0), "ba_r1": float(r1)}
+
+    def apply_correction(self, dx_R: np.ndarray, dx_p: np.ndarray,
+                         g_update: bool, map_keyframes) -> None:
+        """Apply a loop-closure correction between scans (reference
+        loop_update, voxelslam.cpp:1255-1373): left-multiply the window
+        states by dx, rebuild the live voxel map from the supplied
+        keyframes (fixed points) plus the corrected window scans, and
+        reset the slot indirection.
+
+        The emitted ScanPose history is assumed already updated by the
+        loop pipeline (shared objects)."""
+        cfg = self.cfg
+        W = cfg.lba.win_size
+        dR = jnp.array(dx_R, jnp.float32)
+        dp = jnp.array(dx_p, jnp.float32)
+
+        win = self.win
+        new_g = dR @ win.g[0] if g_update else win.g[0]
+        win = dataclasses.replace(
+            win,
+            R=dR[None] @ win.R,
+            p=jnp.einsum("ij,nj->ni", dR, win.p) + dp[None],
+            v=jnp.einsum("ij,nj->ni", dR, win.v),
+            g=jnp.broadcast_to(new_g, win.g.shape),
+        )
+        self.win = win
+        self.mp = jnp.arange(W, dtype=jnp.int32)
+        nvalid = self.win_count
+
+        # rebuild the live map: keyframe clouds as fixed stats, then the
+        # corrected window scans into their slots
+        self.levels = vm.empty_map(cfg.map)
+        for kf in map_keyframes:
+            wld = kf.cloud @ kf.R0.T + kf.p0
+            self.levels = self._jit_push_fixed(
+                self.levels, jnp.array(wld, jnp.float32),
+                jnp.array(kf.mask, jnp.float32), self.jour)
+        for i in range(nvalid):
+            self.levels = self._jit_push(
+                self.levels, win[i], jnp.array(self.scan_buf[i]),
+                jnp.array(self.scan_mask[i]), jnp.array(self.scan_tr[i]),
+                self.mp[i], self.jour)
+        self.levels = self._jit_refresh(self.levels, win, self.mp,
+                                        jnp.int32(nvalid))
+        self.x = dataclasses.replace(
+            win[max(nvalid - 1, 0)], cov=self.x.cov,
+            t=self.x.t, bg=self.x.bg, ba=self.x.ba)
+        if self._last_p is not None:
+            self._last_p = np.asarray(dx_R @ self._last_p + dx_p)
+
+    def _push_fixed(self, levels, pts_world, mask, jour):
+        tr = jnp.zeros(pts_world.shape[0])
+        return vm.insert_fixed(levels, self.cfg.map, pts_world, tr, mask,
+                               jour)
+
+    def insert_keyframe_fixed(self, kf) -> None:
+        """Mid-term association: fold one historical keyframe cloud into
+        the live map as fixed statistics (reference keyframe_loading,
+        voxelslam.cpp:1379-1438); planes refresh on the next scan."""
+        wld = kf.cloud @ kf.R0.T + kf.p0
+        self.levels = self._jit_push_fixed(
+            self.levels, jnp.array(wld, jnp.float32),
+            jnp.array(kf.mask, jnp.float32), self.jour)
 
     def flush(self):
         """Emit remaining window states as ScanPoses (end of run)."""
