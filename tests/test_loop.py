@@ -1,0 +1,162 @@
+"""Loop closure: BTC descriptors, ICP, pose graph, LoopPipeline.
+
+The reference validates loop closure only by eye (SURVEY.md section 4);
+here each stage gets a quantitative test on simulated geometry: place
+recognition must recover the true relative pose between two visits, ICP
+must refine it, and the pose-graph burst must bend a drifted trajectory
+back onto the loop constraint.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from voxelslam_tpu.io import simulator as sim
+from voxelslam_tpu.loop.btc import BtcConfig, DescriptorDB, extract
+from voxelslam_tpu.loop.icp import icp_point_to_plane
+from voxelslam_tpu.loop import posegraph as pg
+from voxelslam_tpu.ops.downsample import voxel_downsample
+
+P = 16384
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return sim.make_scene()
+
+
+def keyframe_cloud(scene, origin, yaw, seed, n_az=180, n_el=24):
+    """Merged multi-scan keyframe cloud in the body frame of
+    (yaw, origin) — mimics the pipeline's keyframe creation."""
+    rng = np.random.default_rng(seed)
+    R0 = np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                   [np.sin(yaw), np.cos(yaw), 0],
+                   [0, 0, 1.0]])
+    pts = []
+    for _ in range(10):
+        p = np.asarray(origin) + rng.normal(0, 0.3, 3) * [1, 1, 0.1]
+        dirs, _ = sim.scan_directions(n_az, n_el)
+        pc, hit = sim.raycast(p, R0, dirs, scene)
+        w = pc[hit] @ R0.T + p
+        pts.append(w + rng.normal(0, 0.01, w.shape))
+    W = np.concatenate(pts)
+    body = (W - np.asarray(origin)) @ R0
+    down, dmask, _ = voxel_downsample(
+        jnp.array(body, jnp.float32), jnp.ones(len(body), jnp.float32),
+        0.2, P)
+    return (np.asarray(down), np.asarray(dmask, np.float32), R0,
+            np.asarray(origin, np.float64))
+
+
+@pytest.fixture(scope="module")
+def two_visits(scene):
+    kfA = keyframe_cloud(scene, (0.0, 0.0, 1.0), 0.0, 1)
+    kfB = keyframe_cloud(scene, (1.0, -1.5, 1.0), 0.7, 9)
+    return kfA, kfB
+
+
+class TestBtc:
+    def test_descriptors_extracted(self, two_visits):
+        (cA, mA, _, _), _ = two_visits
+        d = extract(jnp.array(cA), jnp.array(mA), BtcConfig())
+        assert int(np.asarray(d["tri_valid"]).sum()) > 20
+        assert int(np.asarray(d["plane_valid"]).sum()) >= 6
+
+    def test_revisit_recovers_transform(self, two_visits):
+        (cA, mA, RA, pA), (cB, mB, RB, pB) = two_visits
+        cfg = BtcConfig()
+        dA = {k: np.asarray(v) for k, v in
+              extract(jnp.array(cA), jnp.array(mA), cfg).items()}
+        dB = {k: np.asarray(v) for k, v in
+              extract(jnp.array(cB), jnp.array(mB), cfg).items()}
+        db = DescriptorDB(cfg)
+        db.add(0, dA)
+        cands = db.search(dB, skip_near=-1, current_frame=1 << 30)
+        assert cands, "revisit not retrieved"
+        ver = db.verify(dB, cands[0][0], cands[0][2])
+        assert ver is not None, "geometric verification failed"
+        R_t = RA.T @ RB                   # true cur-body -> matched-body
+        t_t = RA.T @ (pB - pA)
+        assert np.abs(ver["R"] - R_t).max() < 0.05
+        assert np.linalg.norm(ver["t"] - t_t) < 0.3
+        assert ver["overlap"] > 0.4
+
+    def test_no_match_for_disjoint_place(self, scene, two_visits):
+        (cA, mA, _, _), _ = two_visits
+        cfg = BtcConfig()
+        dA = {k: np.asarray(v) for k, v in
+              extract(jnp.array(cA), jnp.array(mA), cfg).items()}
+        far = keyframe_cloud(scene, (12.0, 8.0, 1.0), 2.2, 5)
+        dF = {k: np.asarray(v) for k, v in
+              extract(jnp.array(far[0]), jnp.array(far[1]), cfg).items()}
+        db = DescriptorDB(cfg)
+        db.add(0, dA)
+        cands = db.search(dF, skip_near=-1, current_frame=1 << 30)
+        for f, votes, matches in cands[:3]:
+            ver = db.verify(dF, f, matches)
+            if ver is not None:
+                # allow retrieval but demand low overlap confidence
+                assert ver["overlap"] < 0.4
+
+
+class TestIcp:
+    def test_refines_coarse_transform(self, two_visits):
+        (cA, mA, RA, pA), (cB, mB, RB, pB) = two_visits
+        R_t = RA.T @ RB
+        t_t = RA.T @ (pB - pA)
+        # perturb the true transform and let ICP pull it back
+        dR = np.array(sim._exp(np.array([0.02, -0.03, 0.04])))
+        R0 = R_t @ dR
+        t0 = t_t + np.array([0.15, -0.1, 0.1])
+        out = icp_point_to_plane(
+            jnp.array(cB), jnp.array(mB), jnp.array(cA), jnp.array(mA),
+            jnp.array(R0, jnp.float32), jnp.array(t0, jnp.float32))
+        assert bool(out["ok"])
+        assert np.abs(np.asarray(out["R"]) - R_t).max() < 0.01
+        assert np.linalg.norm(np.asarray(out["t"]) - t_t) < 0.05
+
+
+class TestPoseGraph:
+    def test_loop_edge_corrects_drift(self, rng):
+        # circle trajectory with accumulated yaw-rate bias, loop closed
+        K = 60
+        th = np.linspace(0, 2 * np.pi, K)
+        gt_p = np.stack([5 * np.sin(th), 5 * (1 - np.cos(th)),
+                         np.zeros(K)], -1)
+        gt_R = np.stack([np.array(
+            [[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0],
+             [0, 0, 1]]) for a in th])
+        # drifted odometry: relative poses with a small yaw bias
+        est_R = [gt_R[0]]
+        est_p = [gt_p[0]]
+        bias = np.array(sim._exp(np.array([0, 0, 0.004])))
+        for i in range(1, K):
+            rel_R = gt_R[i - 1].T @ gt_R[i] @ bias
+            rel_p = gt_R[i - 1].T @ (gt_p[i] - gt_p[i - 1])
+            est_R.append(est_R[-1] @ rel_R)
+            est_p.append(est_p[-1] + est_R[-2] @ rel_p)
+        est_R = np.stack(est_R)
+        est_p = np.stack(est_p)
+        drift0 = np.linalg.norm(est_p[-1] - gt_p[-1])
+        assert drift0 > 0.5  # the scenario actually drifts
+
+        ii, jj, rel_R, rel_p, info = pg.odometry_chain_edges(
+            jnp.array(est_R, jnp.float32), jnp.array(est_p, jnp.float32),
+            jnp.ones((K, 6)) * 1e-4)
+        # loop edge: first -> last with the TRUE relative pose
+        lR = gt_R[0].T @ gt_R[-1]
+        lp = gt_R[0].T @ (gt_p[-1] - gt_p[0])
+        ii = jnp.concatenate([ii, jnp.array([0], jnp.int32)])
+        jj = jnp.concatenate([jj, jnp.array([K - 1], jnp.int32)])
+        rel_R = jnp.concatenate([rel_R, jnp.array(lR, jnp.float32)[None]])
+        rel_p = jnp.concatenate([rel_p, jnp.array(lp, jnp.float32)[None]])
+        info = jnp.concatenate([info, jnp.full((1, 6), 1e6)])
+
+        R2, p2, chi = pg.solve_pose_graph(
+            jnp.array(est_R, jnp.float32), jnp.array(est_p, jnp.float32),
+            ii, jj, rel_R, rel_p, info, iters=8)
+        drift1 = float(np.linalg.norm(
+            np.asarray(p2[-1]) - np.asarray(p2[0])
+            - np.asarray(gt_p[-1] - gt_p[0])))
+        assert drift1 < 0.2 * drift0

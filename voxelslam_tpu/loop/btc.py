@@ -36,8 +36,8 @@ from ..ops import voxel_hash as vh
 
 @dataclasses.dataclass(frozen=True)
 class BtcConfig:
-    voxel_size: float = 1.0          # plane voxelization (BTC.cpp profile)
-    plane_min_points: int = 10
+    voxel_size: float = 2.0          # plane voxelization (BTC.cpp ground
+    plane_min_points: int = 10       # profile voxel_size, read_parameters)
     plane_eig_thr: float = 0.01      # lam_min gate (BTC.cpp:110)
     max_planes: int = 24
     image_res: float = 0.5           # projection grid (BTC.cpp:676)
@@ -66,25 +66,39 @@ def _extract_planes(cloud, mask, cfg: BtcConfig):
     (get_project_plane/merge_plane, BTC.cpp:340-569) so descriptors
     project onto a handful of stable dominant planes; here the merge is
     a second hash pass keyed by the sign-canonicalized quantized
-    (normal, offset) — same effect, fully batched."""
+    (normal, offset) — same effect, fully batched. Voxel planes come
+    from TWO resolutions (voxel_size and voxel_size/2): big voxels see
+    dominant surfaces, small ones recover sub-voxel facade/pillar faces
+    that mixed-geometry big voxels reject."""
     N = cloud.shape[0]
-    keys = vh.voxel_key(cloud, cfg.voxel_size)
-    uniq, uvalid, inv = vh.dedup_keys(keys, mask > 0, 4096)
-    U = 4096
-    seg = jnp.where(inv >= 0, inv, U)
-    w = ((mask > 0) & (inv >= 0)).astype(cloud.dtype)
-    n = jnp.zeros((U,)).at[seg].add(w, mode="drop")
-    s = jnp.zeros((U, 3)).at[seg].add(cloud * w[:, None], mode="drop")
-    mu = s / jnp.maximum(n, 1.0)[:, None]
-    d = (cloud - mu[jnp.maximum(inv, 0)]) * w[:, None]
-    S = jnp.zeros((U, 3, 3)).at[seg].add(d[:, :, None] * d[:, None, :],
-                                         mode="drop")
-    lam, V = eigh3(S / jnp.maximum(n, 1.0)[:, None, None])
-    is_plane = uvalid & (n >= cfg.plane_min_points) & \
-        (lam[:, 0] < cfg.plane_eig_thr)
+
+    def voxel_planes(size, U):
+        keys = vh.voxel_key(cloud, size)
+        uniq, uvalid, inv = vh.dedup_keys(keys, mask > 0, U)
+        seg = jnp.where(inv >= 0, inv, U)
+        w = ((mask > 0) & (inv >= 0)).astype(cloud.dtype)
+        n = jnp.zeros((U,)).at[seg].add(w, mode="drop")
+        s = jnp.zeros((U, 3)).at[seg].add(cloud * w[:, None], mode="drop")
+        mu = s / jnp.maximum(n, 1.0)[:, None]
+        d = (cloud - mu[jnp.maximum(inv, 0)]) * w[:, None]
+        S = jnp.zeros((U, 3, 3)).at[seg].add(
+            d[:, :, None] * d[:, None, :], mode="drop")
+        lam, V = eigh3(S / jnp.maximum(n, 1.0)[:, None, None])
+        is_plane = uvalid & (n >= cfg.plane_min_points) & \
+            (lam[:, 0] < cfg.plane_eig_thr)
+        return n, mu, V[:, :, 0], is_plane
+
+    n1, mu1, nrm1, ip1 = voxel_planes(cfg.voxel_size, 4096)
+    n2, mu2, nrm2, ip2 = voxel_planes(cfg.voxel_size / 2.0, 8192)
+    # small-voxel planes carry half weight so dominant-surface stats stay
+    # anchored by the big voxels they duplicate
+    n = jnp.concatenate([n1, 0.5 * n2])
+    mu = jnp.concatenate([mu1, mu2])
+    vnrm = jnp.concatenate([nrm1, nrm2])
+    is_plane = jnp.concatenate([ip1, ip2])
 
     # merge coplanar voxel planes: quantized (normal, plane offset) key
-    nrm = V[:, :, 0]
+    nrm = vnrm
     flip = (nrm[:, 0] + 0.1 * nrm[:, 1] + 0.01 * nrm[:, 2]) < 0
     nrm = jnp.where(flip[:, None], -nrm, nrm)
     off = jnp.einsum("ui,ui->u", nrm, mu)
@@ -103,9 +117,149 @@ def _extract_planes(cloud, mask, cfg: BtcConfig):
         jnp.linalg.norm(mnv, axis=-1, keepdims=True), 1e-9)
     valid = muvalid & (mn > 0)
 
+    # EM sharpening: the quantized grouping fragments planes at cell
+    # boundaries, and fragment normals scatter downstream corner
+    # intersections. A few rounds of {assign voxel-planes to the nearest
+    # coplanar cluster, re-fit} converge the clusters onto the true
+    # planes independent of the initial quantization — the batched
+    # equivalent of the reference's merge_plane region growing
+    # (BTC.cpp:460-569).
+    wvox = is_plane.astype(cloud.dtype) * n
+    for _ in range(3):
+        # assignment: coplanar = normals aligned AND voxel centroid on
+        # the cluster plane; among eligible clusters take the biggest
+        ndot = nrm @ normals.T                                 # (U, M)
+        pdist = jnp.abs(jnp.einsum("umi->um",
+                                   (mu[:, None, :] - centers[None])
+                                   * normals[None]))
+        elig = (ndot > 0.9) & (pdist < 0.4) & valid[None, :]
+        gain = jnp.where(elig, mn[None, :], -1.0)
+        assign = jnp.argmax(gain, axis=-1)
+        has = (jnp.max(gain, axis=-1) > 0) & is_plane
+        aseg = jnp.where(has, assign, M)
+        mn = jnp.zeros((M,)).at[aseg].add(wvox, mode="drop")
+        mc = jnp.zeros((M, 3)).at[aseg].add(mu * wvox[:, None], mode="drop")
+        mnv = jnp.zeros((M, 3)).at[aseg].add(nrm * wvox[:, None],
+                                             mode="drop")
+        centers = mc / jnp.maximum(mn, 1.0)[:, None]
+        normals = mnv / jnp.maximum(
+            jnp.linalg.norm(mnv, axis=-1, keepdims=True), 1e-9)
+        valid = valid & (mn > 0)
+
+    # observed patch radius per cluster (RMS spread of member voxel
+    # centroids) — consumers must not treat clusters as infinite planes
+    aseg_last = aseg
+    mext = jnp.zeros((M,)).at[aseg_last].add(
+        wvox * jnp.sum((mu - centers[jnp.clip(assign, 0, M - 1)]) ** 2,
+                       axis=-1), mode="drop")
+    radius = jnp.sqrt(mext / jnp.maximum(mn, 1.0))
+
     score = jnp.where(valid, mn, -1.0)
     top = jax.lax.top_k(score, cfg.max_planes)[1]
-    return centers[top], normals[top], valid[top], mn[top]
+    return centers[top], normals[top], valid[top], mn[top], radius[top]
+
+
+def _structural_corners(cloud, mask, centers, normals, pvalid, pradius,
+                        cfg: BtcConfig):
+    """Corner keypoints = well-conditioned intersections of detected
+    plane triples, kept only where the cloud actually has support.
+
+    The reference finds corners as occupancy-image maxima of per-plane
+    projections (extract_binary + NMS, BTC.cpp:613-977). On piecewise-
+    planar LiDAR keyframes those maxima tie along whole intersection
+    LINES and need line filters; the geometrically equivalent — and far
+    more repeatable — definition of the same physical corners is the
+    intersection points of the (already stable) merged planes, solved in
+    closed form for every plane triple at once. Descriptors keep the
+    same downstream form: per-corner occupancy code (rotation-invariant
+    radial shells here vs height slices in the reference) + triangle
+    side-length hashing.
+
+    Returns (corners (C, 3), support (C,), binary (C, S), valid (C,)).
+    """
+    M = centers.shape[0]
+    C = cfg.max_corners
+    S = cfg.height_slices
+
+    ii, jj, kk = np.meshgrid(np.arange(M), np.arange(M), np.arange(M),
+                             indexing="ij")
+    keep = (ii < jj) & (jj < kk)
+    ti = jnp.array(ii[keep])
+    tj = jnp.array(jj[keep])
+    tk = jnp.array(kk[keep])
+
+    A = jnp.stack([normals[ti], normals[tj], normals[tk]], axis=1)  # (T,3,3)
+    b = jnp.stack([
+        jnp.einsum("ti,ti->t", normals[ti], centers[ti]),
+        jnp.einsum("ti,ti->t", normals[tj], centers[tj]),
+        jnp.einsum("ti,ti->t", normals[tk], centers[tk]),
+    ], axis=1)
+    det = jnp.linalg.det(A)
+    ok_cond = jnp.abs(det) > 0.2      # mutually non-coplanar normals
+    Asafe = A + (~ok_cond[:, None, None]) * jnp.eye(3)[None]
+    x = jnp.linalg.solve(Asafe, b[..., None])[..., 0]      # (T, 3)
+    # the intersection must be a PHYSICAL junction: inside each plane's
+    # observed patch (RMS radius + margin). Extended-plane intersections
+    # (a 2 m pillar face "hitting" a wall 15 m away) depend on which
+    # faces each viewpoint detected and are not repeatable.
+    def near_patch(idx):
+        # a uniform rectangular patch's corner sits ~1.9x the RMS radius
+        # from its centroid; 2.5x + margin keeps patch-edge junctions
+        # while still rejecting multi-metre plane extensions
+        lim = jnp.minimum(2.5 * pradius[idx] + 2.0, 20.0)
+        return jnp.linalg.norm(x - centers[idx], axis=-1) < lim
+
+    near = near_patch(ti) & near_patch(tj) & near_patch(tk)
+    ok = (ok_cond & near & pvalid[ti] & pvalid[tj] & pvalid[tk]
+          & jnp.all(jnp.isfinite(x), axis=-1)
+          & (jnp.linalg.norm(x, axis=-1) < 100.0))
+
+    # cloud support: points within 1 m of the corner (chunked over the
+    # candidate axis to bound the distance block)
+    def support_of(xc):
+        d2 = jnp.sum((cloud[None] - xc[:, None]) ** 2, axis=-1)
+        d2 = jnp.where(mask[None] > 0, d2, jnp.inf)
+        return jnp.sum(d2 < 1.0, axis=-1).astype(jnp.float32)
+
+    T = x.shape[0]
+    chunk = 256
+    pads = (-T) % chunk
+    xpad = jnp.concatenate([x, jnp.zeros((pads, 3))], axis=0)
+    supp = jax.lax.map(support_of, xpad.reshape(-1, chunk, 3)).reshape(-1)[:T]
+    ok = ok & (supp >= 5)
+
+    # greedy NMS: the same physical corner re-appears from many plane
+    # triples spread over >0.5 m — pick best-supported candidates with a
+    # 1.5 m suppression radius so the C-corner budget covers C distinct
+    # physical corners
+    score0 = jnp.where(ok, supp, -1.0)
+    ncand = min(256, T)
+    cvals, cidx = jax.lax.top_k(score0, ncand)
+    cpos = x[cidx]
+
+    def nms_step(sc, _):
+        i = jnp.argmax(sc)
+        best_ok = sc[i] > 0
+        d = jnp.linalg.norm(cpos - cpos[i], axis=-1)
+        sc = jnp.where(d < 1.5, -1.0, sc)
+        return sc, jnp.where(best_ok, i, -1)
+
+    _, picks = jax.lax.scan(nms_step, cvals, None, length=C)
+    sel = cidx[jnp.maximum(picks, 0)]
+    corners = x[sel]
+    support = supp[sel]
+    cvalid = picks >= 0
+
+    # rotation-invariant occupancy code: radial shells of 0.5 m
+    d2c = jnp.sum((cloud[None] - corners[:, None]) ** 2, axis=-1)
+    d2c = jnp.where(mask[None] > 0, d2c, jnp.inf)
+    shell = jnp.sqrt(d2c) / cfg.slice_height
+    sid = jnp.clip(shell.astype(jnp.int32), 0, S - 1)
+    cnt = jnp.zeros((C, S)).at[
+        jnp.arange(C)[:, None], sid].add(
+            (shell < S).astype(jnp.float32), mode="drop")
+    binary = (cnt >= 3.0).astype(jnp.float32)
+    return corners, support, binary, cvalid
 
 
 def _project_corners(cloud, mask, centers, normals, pvalid, cfg: BtcConfig):
@@ -147,30 +301,51 @@ def _project_corners(cloud, mask, centers, normals, pvalid, cfg: BtcConfig):
     occ = occ.reshape(P, G, G, S)
     summary = jnp.sum(occ, axis=-1)                        # (P, G, G)
 
-    # 5x5 block-max NMS
-    pooled = jax.lax.reduce_window(
-        summary, -jnp.inf, jax.lax.max,
-        (1, cfg.nms_block, cfg.nms_block), (1, 1, 1), "SAME")
-    is_peak = (summary >= pooled) & (summary > 1)
+    # ---- Harris corner response on the occupancy-summary image ----
+    # Occupancy summaries are piecewise-constant region images: maxima
+    # tie along whole wall-intersection LINES, so intensity peaks are
+    # not repeatable across samplings. Corners of the high-occupancy
+    # REGIONS are the stable physical features (the reference's line
+    # filter + max-constraint inside extract_binary, BTC.cpp:613-924,
+    # serves the same purpose); the Harris response finds exactly those.
+    def box3(img):
+        out = jnp.zeros_like(img)
+        for ddx in (-1, 0, 1):
+            for ddy in (-1, 0, 1):
+                out = out + jnp.roll(jnp.roll(img, ddx, 1), ddy, 2)
+        return out
 
-    # top-C peaks per plane
-    flat_sum = jnp.where(is_peak, summary, -1.0).reshape(P, G * G)
-    vals, idx = jax.lax.top_k(flat_sum, C)                 # (P, C)
+    g = box3(summary) / 9.0                               # light blur
+    Ix = 0.5 * (jnp.roll(g, -1, 1) - jnp.roll(g, 1, 1))
+    Iy = 0.5 * (jnp.roll(g, -1, 2) - jnp.roll(g, 1, 2))
+    Sxx = box3(Ix * Ix)
+    Syy = box3(Iy * Iy)
+    Sxy = box3(Ix * Iy)
+    harris = (Sxx * Syy - Sxy * Sxy) - 0.05 * (Sxx + Syy) ** 2
+    # kill the wrap-around border introduced by roll
+    bmask = jnp.zeros((G, G)).at[2:-2, 2:-2].set(1.0)
+    harris = harris * bmask[None]
+
+    pooled = jax.lax.reduce_window(
+        harris, -jnp.inf, jax.lax.max,
+        (1, cfg.nms_block, cfg.nms_block), (1, 1, 1), "SAME")
+    is_peak = (harris >= pooled) & (harris > 0.5)
+
+    flat_h = jnp.where(is_peak, harris, -1.0).reshape(P, G * G)
+    hvals, idx = jax.lax.top_k(flat_h, C)                 # (P, C)
     cx = idx // G
     cy = idx % G
-    # sub-cell refinement: summary-weighted centroid over the 3x3
-    # neighbourhood — independent samplings of the same scene otherwise
-    # jitter the argmax by whole cells (the reference averages the point
-    # positions inside the peak cell, BTC.cpp:869-894)
+    pij = jnp.broadcast_to(jnp.arange(P)[:, None], cx.shape)
+    vals = summary[pij, cx, cy]
+    # sub-cell refinement: response-weighted centroid over 3x3
     wsum = jnp.zeros(cx.shape)
     du = jnp.zeros(cx.shape)
     dv = jnp.zeros(cx.shape)
-    pij = jnp.broadcast_to(jnp.arange(P)[:, None], cx.shape)
     for ddx in (-1, 0, 1):
         for ddy in (-1, 0, 1):
             nx = jnp.clip(cx + ddx, 0, G - 1)
             ny = jnp.clip(cy + ddy, 0, G - 1)
-            s = summary[pij, nx, ny]
+            s = jnp.maximum(harris[pij, nx, ny], 0.0)
             wsum = wsum + s
             du = du + s * ddx
             dv = dv + s * ddy
@@ -182,7 +357,7 @@ def _project_corners(cloud, mask, centers, normals, pvalid, cfg: BtcConfig):
                + vv[..., None] * t2[:, None, :])           # (P, C, 3)
     binary = jnp.take_along_axis(
         occ.reshape(P, G * G, S), idx[..., None], axis=1)  # (P, C, S)
-    cvalid = (vals > 1) & pvalid[:, None]
+    cvalid = (hvals > 0.5) & pvalid[:, None]
     return (corners.reshape(-1, 3), vals.reshape(-1),
             binary.reshape(-1, S), cvalid.reshape(-1))
 
@@ -221,9 +396,10 @@ def _triangles(corners, summary, binary, cvalid, cfg: BtcConfig):
 
 def extract(cloud: jnp.ndarray, mask: jnp.ndarray, cfg: BtcConfig):
     """Full descriptor extraction for one keyframe cloud (device)."""
-    centers, normals, pvalid, pcount = _extract_planes(cloud, mask, cfg)
-    corners, summary, binary, cvalid = _project_corners(
-        cloud, mask, centers, normals, pvalid, cfg)
+    centers, normals, pvalid, pcount, pradius = _extract_planes(
+        cloud, mask, cfg)
+    corners, summary, binary, cvalid = _structural_corners(
+        cloud, mask, centers, normals, pvalid, pradius, cfg)
     sides, verts, vbins, tvalid = _triangles(corners, summary, binary,
                                              cvalid, cfg)
     return dict(sides=sides, verts=verts, binary=vbins, tri_valid=tvalid,
@@ -303,8 +479,23 @@ class DescriptorDB:
                                 continue
                             votes[f].append((int(t_local), tt))
         cand = sorted(votes.items(), key=lambda kv: -len(kv[1]))
-        return [(f, len(m), m[:self.cfg.max_matches]) for f, m in cand
-                if len(m) >= self.cfg.min_votes]
+        out = []
+        for f, m in cand:
+            if len(m) < self.cfg.min_votes:
+                continue
+            # diversify: at most one pair per query triangle, so a few
+            # degenerate repeated side-lengths can't starve verification
+            seen_q = set()
+            kept = []
+            for q_t, t_t in m:
+                if q_t in seen_q:
+                    continue
+                seen_q.add(q_t)
+                kept.append((q_t, t_t))
+                if len(kept) >= self.cfg.max_matches:
+                    break
+            out.append((f, len(m), kept))
+        return out
 
     def verify(self, desc, cand_frame: int, matches):
         """Geometric verification: per-match SVD transform, agreement
