@@ -129,10 +129,19 @@ def dedup_keys(keys: jnp.ndarray, valid: jnp.ndarray, unique_max: int):
     Returns (uniq_keys, uniq_valid, inverse) where inverse (N,) maps each
     input row to its unique row (or -1 if input invalid / overflow).
     Fixed shapes throughout: lexsort + neighbor-compare + bounded scatter.
+
+    The sort is keyed primarily by a HASH of the voxel key (ties broken
+    by the raw components, so equal keys stay adjacent): when the input
+    has more uniques than `unique_max`, the overflow then drops a
+    spatially UNIFORM pseudo-random subset instead of everything past a
+    lexicographic cutoff (which would silently discard one side of the
+    scene).
     """
     N = keys.shape[0]
     big = jnp.where(valid[:, None], keys, jnp.iinfo(jnp.int32).max)
-    order = jnp.lexsort((big[:, 2], big[:, 1], big[:, 0]))
+    h = hash_key(big, 1 << 30)
+    h = jnp.where(valid, h, jnp.iinfo(jnp.int32).max)
+    order = jnp.lexsort((big[:, 2], big[:, 1], big[:, 0], h))
     sk = big[order]
     first = jnp.concatenate([
         jnp.array([True]),
