@@ -55,12 +55,60 @@ def _get(arr, *names, default=None):
     return default
 
 
+def _native_decode(arr, lt, blind, point_filter_num):
+    """Fast path through the C++ ingest library (voxelslam_tpu.native);
+    returns None when the layout needs the numpy fallback (unit
+    auto-detection, yaw-derived times)."""
+    from .. import native
+    if not native.available():
+        return None
+    plans = {
+        "livox": dict(time_fields=("offset_time",), t_scale=1e-9),
+        "ouster": dict(time_fields=("t",), t_scale=1e-9),
+        "hesai": dict(time_fields=("timestamp",), t_absolute=True),
+        "robosense": dict(time_fields=("timestamp",), t_absolute=True),
+        "tartanair": dict(time_fields=()),
+    }
+    plan = plans.get(lt)
+    if plan is None:
+        return None
+    names = arr.dtype.names or ()
+    tf = plan.get("time_fields", ())
+    if tf and tf[0] not in names:
+        return None
+    if tf and tf[0] in names:
+        # the u4/u8 ns layouts are safe; float layouts may be in other
+        # units that the numpy path auto-detects
+        kind = arr.dtype.fields[tf[0]][0].kind
+        if plan.get("t_scale", 1.0) != 1.0 and kind not in "iu":
+            return None
+    out = native.decode_structured(
+        arr, time_fields=tf or ("__none__",),
+        t_scale=plan.get("t_scale", 1.0),
+        t_absolute=plan.get("t_absolute", False),
+        blind=blind, point_filter_num=point_filter_num,
+        max_offset=MAX_OFFSET_S)
+    if out is None:
+        return None
+    pts, offs, inten = out
+    if len(pts) == 0:
+        pts = np.zeros((2, 3), np.float32)
+        offs = np.zeros(2, np.float32)
+        inten = np.zeros(2, np.float32)
+    return dict(points=pts, offsets=offs, intensity=inten)
+
+
 def decode(arr: np.ndarray, lidar_type: str, blind: float = 0.5,
-           point_filter_num: int = 1, scan_duration: float = 0.1):
+           point_filter_num: int = 1, scan_duration: float = 0.1,
+           use_native: bool = True):
     """Decode one scan's structured array to the common form."""
     lt = lidar_type.lower()
     if lt not in LIDAR_TYPES:
         raise ValueError(f"unknown lidar type {lidar_type}")
+    if use_native:
+        out = _native_decode(arr, lt, blind, point_filter_num)
+        if out is not None:
+            return out
     xyz = np.stack([np.asarray(arr["x"], np.float64),
                     np.asarray(arr["y"], np.float64),
                     np.asarray(arr["z"], np.float64)], -1)

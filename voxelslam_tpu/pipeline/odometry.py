@@ -55,6 +55,15 @@ class ScanPose:
     cloud: np.ndarray       # downsampled body-frame cloud
     cloud_mask: np.ndarray
     session: int
+    # IMU biases + gravity at this scan — persisted in alidarState.txt
+    # (reference save_pose writes the full 26-column IMUST row,
+    # voxelslam.cpp:181-204)
+    bg: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3))
+    ba: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3))
+    g: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.0, 0.0, -9.81]))
 
 
 class SlamPipeline:
@@ -298,6 +307,9 @@ class SlamPipeline:
             emitted.R.reshape(-1),
             emitted.p.reshape(-1),
             emitted.v.reshape(-1),
+            emitted.bg.reshape(-1),
+            emitted.ba.reshape(-1),
+            emitted.g.reshape(-1),
         ])
         return (x_out, levels, win_next, mp_new, preints, stats,
                 down, dmask, tr)
@@ -560,7 +572,9 @@ class SlamPipeline:
                 v=np.asarray(s.v), v6=np.asarray(v6),
                 cloud=self.scan_buf[k].copy(),
                 cloud_mask=self.scan_mask[k].copy(),
-                session=self.session))
+                session=self.session,
+                bg=np.asarray(s.bg), ba=np.asarray(s.ba),
+                g=np.asarray(s.g)))
         self.levels = levels
         self.win = win_shift
         self.mp = mp_new
@@ -606,6 +620,9 @@ class SlamPipeline:
         e_R = st[off + mg:off + mg + 9 * mg].reshape(mg, 3, 3)
         e_p = st[off + 10 * mg:off + 13 * mg].reshape(mg, 3)
         e_v = st[off + 13 * mg:off + 16 * mg].reshape(mg, 3)
+        e_bg = st[off + 16 * mg:off + 19 * mg].reshape(mg, 3)
+        e_ba = st[off + 19 * mg:off + 22 * mg].reshape(mg, 3)
+        e_g = st[off + 22 * mg:off + 25 * mg].reshape(mg, 3)
         self.jour += float(np.linalg.norm(e_p[-1] - self._last_p)) \
             if self._last_p is not None else 0.0
         self._last_p = e_p[-1]
@@ -628,7 +645,8 @@ class SlamPipeline:
                 t=float(e_t[k]), R=e_R[k], p=e_p[k], v=e_v[k], v6=v6_np,
                 cloud=self.scan_buf[k].copy(),
                 cloud_mask=self.scan_mask[k].copy(),
-                session=self.session))
+                session=self.session,
+                bg=e_bg[k], ba=e_ba[k], g=e_g[k]))
         self.scan_buf = np.roll(self.scan_buf, -mg, axis=0)
         self.scan_mask = np.roll(self.scan_mask, -mg, axis=0)
         self.scan_tr = np.roll(self.scan_tr, -mg, axis=0)
@@ -710,6 +728,8 @@ class SlamPipeline:
                 v=np.asarray(s.v), v6=np.ones(6, np.float32),
                 cloud=self.scan_buf[k].copy(),
                 cloud_mask=self.scan_mask[k].copy(),
-                session=self.session))
+                session=self.session,
+                bg=np.asarray(s.bg), ba=np.asarray(s.ba),
+                g=np.asarray(s.g)))
         self.win_count = 0
         return self.scan_poses

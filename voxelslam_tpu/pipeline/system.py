@@ -26,6 +26,8 @@ relocalize into them (the reference's multi-session elastic recovery,
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..config import SlamConfig
@@ -34,12 +36,31 @@ from .loop import LoopPipeline
 
 
 class SlamSystem:
-    def __init__(self, cfg: SlamConfig, enable_loop: bool = True):
+    def __init__(self, cfg: SlamConfig, enable_loop: bool = True,
+                 enable_gba: bool = False,
+                 previous_maps: list[str] | None = None,
+                 savepath: str | None = None):
+        """previous_maps: prior session names under `savepath` to load
+        and relocalize against (the reference's General/previous_map
+        param, voxelslam.cpp:282-308)."""
         self.cfg = cfg
+        self.savepath = savepath
         self.odom = SlamPipeline(cfg, collect_clouds=enable_loop)
         self.loop = LoopPipeline(cfg) if enable_loop else None
+        self.session_names: list[str] = []
         if self.loop is not None:
+            if previous_maps:
+                from ..io import sessions as ses
+                ses.load_previous_sessions(self.loop, savepath,
+                                           previous_maps)
+                self.session_names.extend(previous_maps)
             self.loop.new_session()
+            self.session_names.append(f"live{len(self.session_names)}")
+        self.gba = None
+        if enable_gba and enable_loop:
+            from ..gba.hba import HbaRunner
+            self.gba = HbaRunner(cfg)
+        self._gba_consumed: dict[int, int] = {}
         self._emitted = 0
         self._session = 0
         self.corrections = 0
@@ -60,6 +81,7 @@ class SlamSystem:
             # searchable in the loop pipeline
             self._session = self.odom.session
             self.loop.new_session()
+            self.session_names.append(f"live{len(self.session_names)}")
 
         # stream newly emitted scan poses into the loop pipeline
         corr = None
@@ -80,11 +102,56 @@ class SlamSystem:
             kf = self.loop.nearby_keyframe(np.asarray(self.odom.x.p))
             if kf is not None:
                 self.odom.insert_keyframe_fixed(kf)
+
+        # stream freshly created keyframes into the continuous bottom-up
+        # GBA (the reference's thd_globalmapping consumption, :3066-3096)
+        if self.gba is not None:
+            self._drain_keyframes_to_gba()
         return out
 
-    def finish(self):
-        """End of run: flush the window; returns all scan poses. Run
-        gba.HbaRunner over `self.loop.keyframes` for the final global
-        refinement (the reference's finish-flag path)."""
+    def _drain_keyframes_to_gba(self):
+        sid = self.loop.cur_session
+        done = self._gba_consumed.get(sid, 0)
+        kfs = self.loop.keyframes[sid]
+        while done < len(kfs):
+            self.gba.add_keyframe(kfs[done])
+            done += 1
+        self._gba_consumed[sid] = done
+
+    def finish(self, run_gba: bool | None = None):
+        """End of run (replaces `rosparam set finish true`): flush the
+        window, then — when GBA is enabled — run the final global
+        refinement: total BA over all submaps + top-down pose-graph
+        solve writing every session back (reference topDownProcess,
+        voxelslam.cpp:2687-2812). Returns all scan poses."""
         self.odom.flush()
+        if self.loop is not None:
+            while self._emitted < len(self.odom.scan_poses):
+                sp = self.odom.scan_poses[self._emitted]
+                self._emitted += 1
+                self.loop.push(sp)
+        if self.gba is not None and (run_gba is None or run_gba):
+            self._drain_keyframes_to_gba()
+            self.gba.total_ba()
+            if self.gba.edges1 or self.gba.edges2:
+                self.gba.top_down(self.loop)
         return self.odom.scan_poses
+
+    def save(self, name: str | None = None):
+        """Persist the live session + multi-session loop edges under
+        `savepath` (reference save_pose + pgo_edges_io write,
+        voxelslam.cpp:2693-2699)."""
+        assert self.savepath is not None, "savepath not set"
+        from ..io import sessions as ses
+        if name is not None:
+            self.session_names[-1] = name
+        sid = self.loop.cur_session if self.loop is not None else 0
+        sps = (self.loop.scan_poses[sid] if self.loop is not None
+               else self.odom.scan_poses)
+        ses.save_session(os.path.join(self.savepath,
+                                      self.session_names[-1]), sps)
+        if self.loop is not None:
+            ses.write_edges(
+                os.path.join(self.savepath, "edge.txt"),
+                self.loop.lp_edges, self.session_names,
+                extra_lines=getattr(self.loop, "_edge_absent_lines", ()))
