@@ -15,12 +15,26 @@ a multicore x86 with 5 worker threads (BASELINE.md — no published fps;
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the fused per-scan step is a
+    large graph (~minutes to compile on a small host); cache it so
+    repeated bench runs only pay execution time."""
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def main():
+    _enable_compile_cache()
     from voxelslam_tpu.config import SlamConfig, MapConfig, OdometryConfig, LocalBAConfig
     from voxelslam_tpu.pipeline import SlamPipeline
     from voxelslam_tpu.io import simulator as sim

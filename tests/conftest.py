@@ -21,6 +21,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the big fused step functions (odometry
+# megastep, window BA, init round) take minutes to compile on a small
+# CPU host; cache them across pytest runs.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
