@@ -194,7 +194,7 @@ class TestVoxelMap:
 
         levels = vm.marginalize(levels, cfg, Rs, ps, mp, 2, 1)
         # window slot 0 cleared
-        assert float(jnp.sum(levels[0].win.n[:, 0])) == 0.0
+        assert float(jnp.sum(levels[0].win.n[0])) == 0.0
         # fixed stats got the points
         assert float(jnp.sum(levels[0].fix.n)) > 0
         levels = vm.refresh_planes(levels, cfg, Rs, ps, mp, 2)
@@ -204,3 +204,60 @@ class TestVoxelMap:
         np.testing.assert_array_equal(st_before[occ], st_after[occ])
         np.testing.assert_allclose(lam_before[occ], lam_after[occ],
                                    atol=1e-5, rtol=1e-3)
+
+
+class TestEviction:
+    def _plane_points(self, rng, n=600, extent=3.0, z=0.5, noise=0.005,
+                      cx=0.0):
+        pts = np.stack([
+            rng.uniform(-extent, extent, n) + cx,
+            rng.uniform(-extent, extent, n),
+            rng.normal(z, noise, n),
+        ], -1).astype(np.float32)
+        return jnp.array(pts)
+
+    def test_evict_drops_far_keeps_near(self, rng):
+        cfg = small_test_config().map
+        levels = vm.empty_map(cfg)
+        Rs, ps, mp = _identity_window(cfg.win_size)
+
+        far = self._plane_points(rng, cx=0.0)
+        near = self._plane_points(rng, cx=30.0)
+        tr = jnp.full((far.shape[0],), 1e-4)
+        m = jnp.ones(far.shape[0])
+        # far voxels created at jour=0, near at jour=750
+        levels = vm.insert_scan(levels, cfg, far, far, tr, m, 0, jour=0.0)
+        levels = vm.insert_scan(levels, cfg, near, near, tr, m, 1, jour=750.0)
+        levels = vm.refresh_planes(levels, cfg, Rs, ps, mp, 2)
+
+        ev = vm.evict(levels, jour_now=800.0, max_dist=700.0)
+
+        far_keys = vh.voxel_key(far, cfg.level_size(0))
+        near_keys = vh.voxel_key(near, cfg.level_size(0))
+        miss = vh.lookup(ev[0].keys, ev[0].occ, far_keys, m > 0)
+        assert np.all(np.asarray(miss) == -1)
+        hit = vh.lookup(ev[0].keys, ev[0].occ, near_keys, m > 0)
+        assert np.all(np.asarray(hit) >= 0)
+
+        # surviving voxels carry their data to the new slots: match still
+        # associates near points with the z=0.5 plane
+        var_w = jnp.tile((jnp.eye(3) * 1e-4)[None], (near.shape[0], 1, 1))
+        res = vm.match_points(ev, cfg, near, var_w, m)
+        frac = float(jnp.sum(res["valid"])) / near.shape[0]
+        assert frac > 0.8
+        nrm = np.asarray(res["normal"])[np.asarray(res["valid"])]
+        assert np.all(np.abs(nrm[:, 2]) > 0.95)
+
+    def test_evict_preserves_window_and_fix(self, rng):
+        cfg = small_test_config().map
+        levels = vm.empty_map(cfg)
+        Rs, ps, mp = _identity_window(cfg.win_size)
+        pts = self._plane_points(rng, cx=5.0)
+        tr = jnp.full((pts.shape[0],), 1e-4)
+        m = jnp.ones(pts.shape[0])
+        levels = vm.insert_scan(levels, cfg, pts, pts, tr, m, 0, jour=100.0)
+        levels = vm.refresh_planes(levels, cfg, Rs, ps, mp, 1)
+        n_before = float(jnp.sum(levels[0].win.n))
+        ev = vm.evict(levels, jour_now=150.0, max_dist=700.0)
+        assert float(jnp.sum(ev[0].win.n)) == n_before
+        assert float(jnp.sum(ev[0].occ)) == float(jnp.sum(levels[0].occ))

@@ -28,6 +28,9 @@ class MapConfig:
     min_ba_point: int = 20
     unique_max: Tuple[int, ...] = (4096, 8192, 16384)  # per-level cap on unique voxels touched per scan
     eig_ratio_ba: float = 0.12              # tras_opt gate (voxel_map.hpp:1615)
+    evict_dist: float = 700.0               # jour-distance eviction (voxelslam.cpp:1806)
+    evict_check_every: int = 100            # scans between load-factor checks
+    evict_load: float = 0.4                 # table load factor triggering eviction
 
     @property
     def levels(self) -> int:

@@ -75,8 +75,11 @@ def _extract_planes(cloud, mask, cfg: BtcConfig):
     def voxel_planes(size, U):
         keys = vh.voxel_key(cloud, size)
         uniq, uvalid, inv = vh.dedup_keys(keys, mask > 0, U)
-        seg = jnp.where(inv >= 0, inv, U)
-        w = ((mask > 0) & (inv >= 0)).astype(cloud.dtype)
+        # barrier: indices/updates share the `inv >= 0` producer — see
+        # voxel_hash.insert (XLA:TPU scatter_emitter fusion assertion)
+        seg, w = jax.lax.optimization_barrier(
+            (jnp.where(inv >= 0, inv, U),
+             ((mask > 0) & (inv >= 0)).astype(cloud.dtype)))
         n = jnp.zeros((U,)).at[seg].add(w, mode="drop")
         s = jnp.zeros((U, 3)).at[seg].add(cloud * w[:, None], mode="drop")
         mu = s / jnp.maximum(n, 1.0)[:, None]
@@ -107,8 +110,9 @@ def _extract_planes(cloud, mask, cfg: BtcConfig):
     mkeys = jnp.stack([qn[:, 0] * 9 + qn[:, 1], qn[:, 2], qd], axis=-1)
     M = cfg.max_planes * 8
     muniq, muvalid, minv = vh.dedup_keys(mkeys, is_plane, M)
-    mseg = jnp.where(minv >= 0, minv, M)
-    mw = (is_plane & (minv >= 0)).astype(cloud.dtype) * n
+    mseg, mw = jax.lax.optimization_barrier(
+        (jnp.where(minv >= 0, minv, M),
+         (is_plane & (minv >= 0)).astype(cloud.dtype) * n))
     mn = jnp.zeros((M,)).at[mseg].add(mw, mode="drop")
     mc = jnp.zeros((M, 3)).at[mseg].add(mu * mw[:, None], mode="drop")
     mnv = jnp.zeros((M, 3)).at[mseg].add(nrm * mw[:, None], mode="drop")
@@ -136,7 +140,8 @@ def _extract_planes(cloud, mask, cfg: BtcConfig):
         gain = jnp.where(elig, mn[None, :], -1.0)
         assign = jnp.argmax(gain, axis=-1)
         has = (jnp.max(gain, axis=-1) > 0) & is_plane
-        aseg = jnp.where(has, assign, M)
+        aseg, wvox = jax.lax.optimization_barrier(
+            (jnp.where(has, assign, M), wvox))
         mn = jnp.zeros((M,)).at[aseg].add(wvox, mode="drop")
         mc = jnp.zeros((M, 3)).at[aseg].add(mu * wvox[:, None], mode="drop")
         mnv = jnp.zeros((M, 3)).at[aseg].add(nrm * wvox[:, None],
@@ -254,10 +259,13 @@ def _structural_corners(cloud, mask, centers, normals, pvalid, pradius,
     d2c = jnp.sum((cloud[None] - corners[:, None]) ** 2, axis=-1)
     d2c = jnp.where(mask[None] > 0, d2c, jnp.inf)
     shell = jnp.sqrt(d2c) / cfg.slice_height
-    sid = jnp.clip(shell.astype(jnp.int32), 0, S - 1)
+    # barrier: sid (indices) and the update weights both derive from
+    # `shell` — see voxel_hash.insert (scatter_emitter fusion assertion)
+    sid, sweight = jax.lax.optimization_barrier(
+        (jnp.clip(shell.astype(jnp.int32), 0, S - 1),
+         (shell < S).astype(jnp.float32)))
     cnt = jnp.zeros((C, S)).at[
-        jnp.arange(C)[:, None], sid].add(
-            (shell < S).astype(jnp.float32), mode="drop")
+        jnp.arange(C)[:, None], sid].add(sweight, mode="drop")
     binary = (cnt >= 3.0).astype(jnp.float32)
     return corners, support, binary, cvalid
 

@@ -14,8 +14,19 @@ moment algebra. Per-voxel state encodes the octree descent:
     state 2: non-planar with enough points -> descend to the next level
 
 Window-frame data is stored as *local-frame centered clusters* per
-(slot, window-slot) — the SlideWindow equivalent (voxel_map.hpp:1009) —
-so BA can re-transform them under pose updates in closed form.
+(window-slot, slot) — the SlideWindow equivalent (voxel_map.hpp:1009) —
+so BA can re-transform them under pose updates in closed form. The
+window axis is MAJOR (leaves are (W, C, ...)): per-scan writes touch one
+window slot, and a dynamic-update-slice on the major axis is a
+contiguous block write (the (C, W, ...) layout forced a full-array
+relayout per scan — the dominant cost of the first implementation).
+
+Plane refresh is incremental, mirroring the reference's semantics: the
+reference re-evaluates planes only for octrees that received points
+(`recut` over the updated set, voxelslam.cpp:1682-1737) and leaves all
+other planes untouched — so do we: `refresh_planes` with `slots` given
+re-fits ONLY the voxels touched by this scan; the full-map variant
+(slots=None) serves initialization / map rebuild.
 
 Plane parameter covariance: the reference propagates full per-point
 covariances through the eigenvector perturbation (Bf_var/plane_update,
@@ -28,6 +39,10 @@ plane uncertainty
 
 which keeps the same 3-sigma match gate semantics (voxel_map.hpp:
 1649-1721) with O(1) state per voxel instead of a 9x9 accumulator.
+
+Everything the point-to-plane `match` needs per voxel is packed into one
+(C, SLAB) f32 record (normal, center, radius, precomputed plane-noise
+coefficients, state) so one probe resolves to ONE gather.
 """
 
 from __future__ import annotations
@@ -48,27 +63,45 @@ STATE_NONE = 0
 STATE_PLANE = 1
 STATE_SUBDIV = 2
 
+# slab columns (match record): one gather serves the whole match gate
+SLAB = 16
+_S_NORMAL = slice(0, 3)
+_S_CENTER = slice(3, 6)
+_S_RADIUS = 6
+_S_CMEAN = 7      # in-plane-isotropic normal-covariance coefficient
+_S_CVAR = 8       # center-variance coefficient sigma^2 / N
+_S_STATE = 9      # state as float (exact for 0/1/2)
+
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["keys", "occ", "win", "win_tr", "fix", "fix_tr",
-                      "state", "normal", "center", "radius", "lam",
-                      "sigma2", "jour"],
+                      "state", "slab", "lam", "jour"],
          meta_fields=[])
 @dataclasses.dataclass
 class VoxelLevel:
     keys: jnp.ndarray      # (C, 3) int32
     occ: jnp.ndarray       # (C,) bool
-    win: Cluster           # leaves (C, W, ...): local-frame per window slot
-    win_tr: jnp.ndarray    # (C, W) sum of per-point trace(cov)/3
+    win: Cluster           # leaves (W, C, ...): local-frame per window slot
+    win_tr: jnp.ndarray    # (W, C) sum of per-point trace(cov)/3
     fix: Cluster           # (C, ...): world-frame marginalized points
     fix_tr: jnp.ndarray    # (C,)
     state: jnp.ndarray     # (C,) int32
-    normal: jnp.ndarray    # (C, 3) plane normal (world)
-    center: jnp.ndarray    # (C, 3)
-    radius: jnp.ndarray    # (C,) = lambda_2 of normalized cov
+    slab: jnp.ndarray      # (C, SLAB) packed match record
     lam: jnp.ndarray       # (C, 3) eigenvalues of normalized cov
-    sigma2: jnp.ndarray    # (C,) mean per-point noise variance
     jour: jnp.ndarray      # (C,) travel-distance stamp at creation
+
+    # --- derived accessors (kept for tests / introspection) -----------
+    @property
+    def normal(self) -> jnp.ndarray:
+        return self.slab[:, _S_NORMAL]
+
+    @property
+    def center(self) -> jnp.ndarray:
+        return self.slab[:, _S_CENTER]
+
+    @property
+    def radius(self) -> jnp.ndarray:
+        return self.slab[:, _S_RADIUS]
 
 
 def empty_level(capacity: int, win_size: int) -> VoxelLevel:
@@ -76,16 +109,13 @@ def empty_level(capacity: int, win_size: int) -> VoxelLevel:
     C = capacity
     return VoxelLevel(
         keys=keys, occ=occ,
-        win=Cluster.empty((C, win_size)),
-        win_tr=jnp.zeros((C, win_size)),
+        win=Cluster.empty((win_size, C)),
+        win_tr=jnp.zeros((win_size, C)),
         fix=Cluster.empty((C,)),
         fix_tr=jnp.zeros((C,)),
         state=jnp.zeros((C,), jnp.int32),
-        normal=jnp.zeros((C, 3)),
-        center=jnp.zeros((C, 3)),
-        radius=jnp.zeros((C,)),
+        slab=jnp.zeros((C, SLAB)),
         lam=jnp.zeros((C, 3)),
-        sigma2=jnp.zeros((C,)),
         jour=jnp.zeros((C,)),
     )
 
@@ -101,10 +131,14 @@ def empty_map(cfg: MapConfig):
 def insert_scan_level(lv: VoxelLevel, level_size: float, unique_max: int,
                       pts_world: jnp.ndarray, pts_local: jnp.ndarray,
                       tr_pt: jnp.ndarray, mask: jnp.ndarray,
-                      frame_slot, jour) -> VoxelLevel:
-    """Insert one scan's points into a level at window slot `frame_slot`."""
+                      frame_slot, jour):
+    """Insert one scan's points into a level at window slot `frame_slot`.
+
+    Returns (level, touched_slots (U,), touched_valid (U,)) — the slots
+    that received points, for the incremental plane refresh."""
     C = lv.keys.shape[0]
     keys = vh.voxel_key(pts_world, level_size)
+    unique_max = min(unique_max, pts_world.shape[0])
     uniq, uvalid, inv = vh.dedup_keys(keys, mask > 0, unique_max)
 
     occ_before = lv.occ
@@ -112,8 +146,9 @@ def insert_scan_level(lv: VoxelLevel, level_size: float, unique_max: int,
 
     pslot = jnp.where(inv >= 0, uslots[jnp.maximum(inv, 0)], -1)
     ok = (mask > 0) & (pslot >= 0)
-    seg = jnp.where(ok, pslot, C)
-    w = ok.astype(pts_local.dtype)
+    # barrier: see insert_fixed_level (scatter fusion assertion)
+    seg, w, pslot = jax.lax.optimization_barrier(
+        (jnp.where(ok, pslot, C), ok.astype(pts_local.dtype), pslot))
 
     n_add = jnp.zeros((C,)).at[seg].add(w, mode="drop")
     sum_p = jnp.zeros((C, 3)).at[seg].add(pts_local * w[:, None], mode="drop")
@@ -124,33 +159,45 @@ def insert_scan_level(lv: VoxelLevel, level_size: float, unique_max: int,
     tr_add = jnp.zeros((C,)).at[seg].add(tr_pt * w, mode="drop")
 
     added = Cluster(n=n_add, mu=mu_add, S=S_add)
-    col = lv.win[:, frame_slot]
+    col = lv.win[frame_slot]
     merged = cl.merge(col, added)
-    win = jax.tree.map(lambda full, new: full.at[:, frame_slot].set(new),
+    win = jax.tree.map(lambda full, new: full.at[frame_slot].set(new),
                        lv.win, merged)
-    win_tr = lv.win_tr.at[:, frame_slot].add(tr_add)
+    win_tr = lv.win_tr.at[frame_slot].add(tr_add)
 
     # stamp journey distance on newly created voxels
     newly = uvalid & (uslots >= 0) & ~occ_before[jnp.maximum(uslots, 0)]
     jour_arr = lv.jour.at[jnp.where(newly, uslots, C)].set(
         jnp.float32(jour), mode="drop")
 
-    return dataclasses.replace(lv, keys=tkeys, occ=occ, win=win,
-                               win_tr=win_tr, jour=jour_arr)
+    lv = dataclasses.replace(lv, keys=tkeys, occ=occ, win=win,
+                             win_tr=win_tr, jour=jour_arr)
+    return lv, uslots, uvalid & (uslots >= 0)
 
 
 def insert_scan(levels, cfg: MapConfig, pts_world, pts_local, tr_pt, mask,
                 frame_slot, jour=0.0):
-    return tuple(
-        insert_scan_level(lv, cfg.level_size(l), cfg.unique_max[l],
-                          pts_world, pts_local, tr_pt, mask, frame_slot, jour)
-        for l, lv in enumerate(levels)
-    )
+    levels, _ = insert_scan_touched(levels, cfg, pts_world, pts_local,
+                                    tr_pt, mask, frame_slot, jour)
+    return levels
+
+
+def insert_scan_touched(levels, cfg: MapConfig, pts_world, pts_local,
+                        tr_pt, mask, frame_slot, jour=0.0):
+    """insert_scan + per-level (slots, valid) of the voxels touched."""
+    out, touched = [], []
+    for l, lv in enumerate(levels):
+        lv2, s, sv = insert_scan_level(
+            lv, cfg.level_size(l), cfg.unique_max[l],
+            pts_world, pts_local, tr_pt, mask, frame_slot, jour)
+        out.append(lv2)
+        touched.append((s, sv))
+    return tuple(out), touched
 
 
 def insert_fixed_level(lv: VoxelLevel, level_size: float, unique_max: int,
                        pts_world: jnp.ndarray, tr_pt: jnp.ndarray,
-                       mask: jnp.ndarray, jour) -> VoxelLevel:
+                       mask: jnp.ndarray, jour):
     """Insert world-frame points directly into the fixed (marginalized)
     statistics — the reference's keyframe-reload `cut_voxel` variant
     (voxel_map.hpp:2108-2152) used by loop_update / keyframe_loading."""
@@ -162,8 +209,11 @@ def insert_fixed_level(lv: VoxelLevel, level_size: float, unique_max: int,
 
     pslot = jnp.where(inv >= 0, uslots[jnp.maximum(inv, 0)], -1)
     ok = (mask > 0) & (pslot >= 0)
-    seg = jnp.where(ok, pslot, C)
-    w = ok.astype(pts_world.dtype)
+    # barrier: indices (seg) and update weights (w) share the `ok`
+    # producer; fusing it into two operands of one scatter trips an
+    # XLA:TPU fusion assertion (scatter_emitter.cc)
+    seg, w, pslot = jax.lax.optimization_barrier(
+        (jnp.where(ok, pslot, C), ok.astype(pts_world.dtype), pslot))
 
     n_add = jnp.zeros((C,)).at[seg].add(w, mode="drop")
     sum_p = jnp.zeros((C, 3)).at[seg].add(pts_world * w[:, None], mode="drop")
@@ -179,159 +229,241 @@ def insert_fixed_level(lv: VoxelLevel, level_size: float, unique_max: int,
     newly = uvalid & (uslots >= 0) & ~occ_before[jnp.maximum(uslots, 0)]
     jour_arr = lv.jour.at[jnp.where(newly, uslots, C)].set(
         jnp.float32(jour), mode="drop")
-    return dataclasses.replace(lv, keys=tkeys, occ=occ, fix=fix,
-                               fix_tr=fix_tr, jour=jour_arr)
+    lv = dataclasses.replace(lv, keys=tkeys, occ=occ, fix=fix,
+                             fix_tr=fix_tr, jour=jour_arr)
+    return lv, uslots, uvalid & (uslots >= 0)
 
 
 def insert_fixed(levels, cfg: MapConfig, pts_world, tr_pt, mask, jour=0.0):
-    return tuple(
-        insert_fixed_level(lv, cfg.level_size(l), cfg.unique_max[l],
-                           pts_world, tr_pt, mask, jour)
-        for l, lv in enumerate(levels)
-    )
+    levels, _ = insert_fixed_touched(levels, cfg, pts_world, tr_pt, mask,
+                                     jour)
+    return levels
+
+
+def insert_fixed_touched(levels, cfg: MapConfig, pts_world, tr_pt, mask,
+                         jour=0.0):
+    out, touched = [], []
+    for l, lv in enumerate(levels):
+        lv2, s, sv = insert_fixed_level(
+            lv, cfg.level_size(l), cfg.unique_max[l], pts_world, tr_pt,
+            mask, jour)
+        out.append(lv2)
+        touched.append((s, sv))
+    return tuple(out), touched
 
 
 # ---------------------------------------------------------------------------
 # Plane refresh (reference recut + plane_update, voxel_map.hpp:1344-1456)
 # ---------------------------------------------------------------------------
 
+def _phys_poses(Rs, ps, mp, win_count):
+    """Window poses + validity reordered to PHYSICAL slot order, so the
+    (W, C, ...) window arrays never need permuting (permute the 10 poses,
+    not the tables)."""
+    W = mp.shape[0]
+    # barrier: when mp is itself an iota (init / post-correction), CSE
+    # makes the scatter's indices and updates the SAME instruction,
+    # tripping the XLA:TPU fusion assertion (scatter_emitter.cc) — keep
+    # each scatter operand a distinct barrier output
+    idx1, idx2, upd = jax.lax.optimization_barrier(
+        (mp, mp, jnp.arange(W, dtype=jnp.int32)))
+    inv = jnp.zeros((W,), jnp.int32).at[idx1].set(upd)
+    live = (jnp.arange(W) < win_count).astype(Rs.dtype)
+    fmask = jnp.zeros((W,), Rs.dtype).at[idx2].set(live)
+    return Rs[inv], ps[inv], fmask
+
+
+def _total_over_frames(win: Cluster, win_tr, fix: Cluster, fix_tr,
+                       Rs_p, ps_p, fmask):
+    """fix + sum_w transform(win[w], pose_w) as a one-pass anchored
+    reduction (exact centered moments, no sequential merge chain).
+    win leaves (W, B, ...); fix (B, ...); Rs_p/ps_p/fmask in PHYSICAL
+    slot order."""
+    n_w = win.n * fmask[:, None]                                  # (W, B)
+    mu_w = jnp.einsum("wij,wbj->wbi", Rs_p, win.mu) + ps_p[:, None]
+    S_w = jnp.einsum("wij,wbjk,wlk->wbil", Rs_p, win.S, Rs_p)
+
+    n_t = fix.n + jnp.sum(n_w, axis=0)
+    inv_n = 1.0 / jnp.maximum(n_t, 1.0)
+    mu_t = (fix.n[:, None] * fix.mu
+            + jnp.einsum("wb,wbi->bi", n_w, mu_w)) * inv_n[:, None]
+    d_w = mu_w - mu_t[None]
+    d_f = fix.mu - mu_t
+    S_t = (fix.S
+           + fix.n[:, None, None] * (d_f[:, :, None] * d_f[:, None, :])
+           + jnp.einsum("wbij,w->bij", S_w, fmask)
+           + jnp.einsum("wb,wbi,wbj->bij", n_w, d_w, d_w))
+    empty = (n_t == 0)[:, None]
+    mu_t = jnp.where(empty, 0.0, mu_t)
+    S_t = jnp.where(empty[..., None], 0.0, S_t)
+    tr = fix_tr + jnp.einsum("wb,w->b", win_tr, fmask)
+    return Cluster(n=n_t, mu=mu_t, S=S_t), tr
+
+
 def total_cluster_level(lv: VoxelLevel, Rs: jnp.ndarray, ps: jnp.ndarray,
                         mp: jnp.ndarray, win_count):
-    """fix + sum_i transform(win[:, mp[i]], pose_i) and total noise trace.
+    """fix + sum_i transform(win[mp[i]], pose_i) and total noise trace.
 
     Rs: (W, 3, 3), ps: (W, 3) window poses; mp: (W,) logical->physical
     slot map; frames i >= win_count are ignored.
     """
-    W = mp.shape[0]
-    total = lv.fix
-    tr = lv.fix_tr
-    for i in range(W):
-        valid = jnp.asarray(i < win_count)
-        c_i = lv.win[:, mp[i]]
-        c_w = cl.transform(c_i, Rs[i], ps[i])
-        c_w = Cluster(n=jnp.where(valid, c_w.n, 0.0),
-                      mu=jnp.where(valid, c_w.mu, 0.0),
-                      S=jnp.where(valid, c_w.S, 0.0))
-        total = cl.merge(total, c_w)
-        tr = tr + jnp.where(valid, lv.win_tr[:, mp[i]], 0.0)
-    return total, tr
+    Rs_p, ps_p, fmask = _phys_poses(Rs, ps, mp, win_count)
+    return _total_over_frames(lv.win, lv.win_tr, lv.fix, lv.fix_tr,
+                              Rs_p, ps_p, fmask)
 
 
-def refresh_planes_level(lv: VoxelLevel, layer: int, cfg: MapConfig,
-                         Rs, ps, mp, win_count,
-                         min_eigen_value=None, plane_thr=None) -> VoxelLevel:
-    min_eig = cfg.min_eigen_value if min_eigen_value is None else min_eigen_value
-    thr = cfg.plane_thr[layer] if plane_thr is None else plane_thr
-
-    total, tr_total = total_cluster_level(lv, Rs, ps, mp, win_count)
-    cov = cl.cov(total)
-    lam, V = eigh3(cov)
+def _plane_fit(total: Cluster, tr_total, occ, layer, cfg: MapConfig,
+               min_eig, thr):
+    """Plane fit of a batch of total clusters -> (state, slab, lam)."""
+    covm = cl.cov(total)
+    lam, V = eigh3(covm)
     n = total.n
 
     enough = n > cfg.min_point[layer]
-    is_plane = (lv.occ & enough
+    is_plane = (occ & enough
                 & (lam[:, 0] < min_eig)
                 & (lam[:, 0] < thr * lam[:, 2]))
-    can_subdiv = lv.occ & enough & ~is_plane & (layer < cfg.max_layer)
+    can_subdiv = occ & enough & ~is_plane & (layer < cfg.max_layer)
     state = jnp.where(is_plane, STATE_PLANE,
                       jnp.where(can_subdiv, STATE_SUBDIV, STATE_NONE))
 
     sigma2 = tr_total / jnp.maximum(n, 1.0)
-    return dataclasses.replace(
-        lv,
-        state=state,
-        normal=V[:, :, 0],
-        center=total.mu,
-        radius=lam[:, 2],
-        lam=lam,
-        sigma2=sigma2,
-    )
+    # precompute the match-gate plane noise coefficients: the isotropic
+    # in-plane form cmean * (I - u0 u0^T) (exact when l1 == l2)
+    l0, l1, l2 = lam[:, 0], lam[:, 1], lam[:, 2]
+    c_1 = (l0 + l1) / jnp.maximum((l1 - l0) ** 2, 1e-12)
+    c_2 = (l0 + l2) / jnp.maximum((l2 - l0) ** 2, 1e-12)
+    n_tot = jnp.maximum(n, 1.0)
+    cmean = 0.5 * (c_1 + c_2) * sigma2 / n_tot
+    cvar = sigma2 / n_tot
+
+    B = state.shape[0]
+    slab = jnp.zeros((B, SLAB), covm.dtype)
+    slab = slab.at[:, _S_NORMAL].set(V[:, :, 0])
+    slab = slab.at[:, _S_CENTER].set(total.mu)
+    slab = slab.at[:, _S_RADIUS].set(lam[:, 2])
+    slab = slab.at[:, _S_CMEAN].set(cmean)
+    slab = slab.at[:, _S_CVAR].set(cvar)
+    slab = slab.at[:, _S_STATE].set(state.astype(covm.dtype))
+    return state, slab, lam
+
+
+def refresh_planes_level(lv: VoxelLevel, layer: int, cfg: MapConfig,
+                         Rs, ps, mp, win_count,
+                         min_eigen_value=None, plane_thr=None,
+                         slots=None, svalid=None) -> VoxelLevel:
+    """Re-fit planes. With `slots` (U,) given, only those voxels are
+    re-evaluated (gather -> fit -> scatter); otherwise the whole table.
+    """
+    min_eig = cfg.min_eigen_value if min_eigen_value is None else min_eigen_value
+    thr = cfg.plane_thr[layer] if plane_thr is None else plane_thr
+
+    if slots is None:
+        total, tr_total = total_cluster_level(lv, Rs, ps, mp, win_count)
+        state, slab, lam = _plane_fit(total, tr_total, lv.occ, layer, cfg,
+                                      min_eig, thr)
+        return dataclasses.replace(lv, state=state, slab=slab, lam=lam)
+
+    # --- touched-slot refresh -----------------------------------------
+    C = lv.keys.shape[0]
+    si = jnp.where(svalid, slots, 0)
+    Rs_p, ps_p, fmask = _phys_poses(Rs, ps, mp, win_count)
+    win_u = jax.tree.map(lambda a: a[:, si], lv.win)
+    total, tr = _total_over_frames(win_u, lv.win_tr[:, si],
+                                   lv.fix[si], lv.fix_tr[si],
+                                   Rs_p, ps_p, fmask)
+
+    occ_u = lv.occ[si] & svalid
+    state_u, slab_u, lam_u = _plane_fit(total, tr, occ_u, layer, cfg,
+                                        min_eig, thr)
+    # barrier: see voxel_hash.insert — indices and updates share the
+    # (slots, svalid) producers; fusing both into one scatter trips an
+    # XLA:TPU fusion assertion
+    tgt, state_u, slab_u, lam_u = jax.lax.optimization_barrier(
+        (jnp.where(svalid, slots, C), state_u, slab_u, lam_u))
+    state = lv.state.at[tgt].set(state_u, mode="drop")
+    slab = lv.slab.at[tgt].set(slab_u, mode="drop")
+    lam = lv.lam.at[tgt].set(lam_u, mode="drop")
+    return dataclasses.replace(lv, state=state, slab=slab, lam=lam)
 
 
 def refresh_planes(levels, cfg: MapConfig, Rs, ps, mp, win_count,
-                   min_eigen_value=None, plane_thr=None):
-    return tuple(
-        refresh_planes_level(lv, l, cfg, Rs, ps, mp, win_count,
-                             min_eigen_value, plane_thr)
-        for l, lv in enumerate(levels)
-    )
+                   min_eigen_value=None, plane_thr=None, touched=None):
+    """touched: optional per-level (slots, valid) from insert_*_touched;
+    when given, only those voxels are re-fit (incremental refresh)."""
+    out = []
+    for l, lv in enumerate(levels):
+        s, sv = (None, None) if touched is None else touched[l]
+        out.append(refresh_planes_level(lv, l, cfg, Rs, ps, mp, win_count,
+                                        min_eigen_value, plane_thr, s, sv))
+    return tuple(out)
 
 
 # ---------------------------------------------------------------------------
 # Point-to-plane matching (reference OctoTree::match, voxel_map.hpp:1649-1721)
 # ---------------------------------------------------------------------------
 
-def match_points(levels, cfg: MapConfig, pts_world: jnp.ndarray,
-                 var_world: jnp.ndarray, mask: jnp.ndarray):
-    """Associate world points with map planes, descending levels.
+def match_locate(levels, cfg: MapConfig, pts_world: jnp.ndarray,
+                 mask: jnp.ndarray):
+    """Resolve each world point to its plane record (octree descent).
 
-    Returns dict(valid, normal, center, sigma) each (N, ...). The gate is
-    the reference's: in-plane radius <= 9 * radius and |d| < 3 sqrt(sigma)
-    with sigma = (w-c)^T cov_n (w-c) + n^T cov_c n + n^T var_world n.
+    Probes all levels, gathers each level's slab once, and applies the
+    descent cascade (plane -> use, subdiv -> next level). Returns the
+    (N, SLAB) selected records + (N,) found flag. The records are
+    position-independent plane parameters, so the iEKF can re-evaluate
+    the gates at updated poses without re-probing (the reference caches
+    the matched octree node per point the same way, voxelslam.cpp:
+    988-1010 `inside()` short-circuit).
     """
     N = pts_world.shape[0]
-    # per level: slot + state
-    slots, states = [], []
+    rec = jnp.zeros((N, SLAB), pts_world.dtype)
+    found = jnp.zeros((N,), jnp.bool_)
+    descend = jnp.ones((N,), jnp.bool_)
     for l, lv in enumerate(levels):
         keys = vh.voxel_key(pts_world, cfg.level_size(l))
-        s = vh.lookup(lv.keys, lv.occ, keys, mask > 0)
-        slots.append(s)
-        states.append(jnp.where(s >= 0, lv.state[jnp.maximum(s, 0)], STATE_NONE))
+        s = vh.lookup(lv.keys, lv.occ, keys, (mask > 0) & descend)
+        r = lv.slab[jnp.maximum(s, 0)]
+        st = jnp.where(s >= 0, r[:, _S_STATE], 0.0)
+        use_l = descend & (st == STATE_PLANE)
+        descend = descend & (st == STATE_SUBDIV)
+        rec = jnp.where(use_l[:, None], r, rec)
+        found = found | use_l
+    return rec, found
 
-    # octree descent as a cascade of wheres
-    use = []
-    descend = jnp.ones((N,), jnp.bool_)
-    for l in range(cfg.levels):
-        use_l = descend & (states[l] == STATE_PLANE)
-        descend = descend & (states[l] == STATE_SUBDIV)
-        use.append(use_l)
 
-    sel_level = jnp.full((N,), -1, jnp.int32)
-    for l in range(cfg.levels):
-        sel_level = jnp.where(use[l], l, sel_level)
-    valid = sel_level >= 0
+def match_eval(rec: jnp.ndarray, found: jnp.ndarray,
+               pts_world: jnp.ndarray, var_world: jnp.ndarray,
+               mask: jnp.ndarray):
+    """Evaluate the match gates for located records at (possibly updated)
+    world points. Gate = reference's: in-plane radius <= 9 * radius and
+    |d| < 3 sqrt(sigma), sigma = d^T cov_n d + cvar + n^T var_w n."""
+    normal = rec[:, _S_NORMAL]
+    center = rec[:, _S_CENTER]
+    radius = rec[:, _S_RADIUS]
+    cmean = rec[:, _S_CMEAN]
+    cvar = rec[:, _S_CVAR]
 
-    normal = jnp.zeros((N, 3))
-    center = jnp.zeros((N, 3))
-    radius = jnp.zeros((N,))
-    nvar = jnp.zeros((N, 3, 3))
-    cvar = jnp.zeros((N,))
-    for l, lv in enumerate(levels):
-        si = jnp.maximum(slots[l], 0)
-        pick = use[l]
-        normal = jnp.where(pick[:, None], lv.normal[si], normal)
-        center = jnp.where(pick[:, None], lv.center[si], center)
-        radius = jnp.where(pick, lv.radius[si], radius)
-        # closed-form isotropic plane-normal covariance from stored lam:
-        # cov_n = s2/N * sum_{k!=0} (l0+lk)/(l0-lk)^2 u_k u_k^T. We take the
-        # in-plane-isotropic form cmean * (I - u0 u0^T) (exact when l1==l2),
-        # which only needs the stored normal + eigenvalues.
-        lam = lv.lam[si]
-        n_tot = jnp.maximum(lv.fix.n[si] + jnp.sum(lv.win.n[si], axis=-1), 1.0)
-        s2 = lv.sigma2[si]
-        l0, l1, l2 = lam[:, 0], lam[:, 1], lam[:, 2]
-        c_1 = (l0 + l1) / jnp.maximum((l1 - l0) ** 2, 1e-12)
-        c_2 = (l0 + l2) / jnp.maximum((l2 - l0) ** 2, 1e-12)
-        cmean = 0.5 * (c_1 + c_2) * s2 / n_tot
-        u0 = lv.normal[si]
-        P = jnp.eye(3)[None] - u0[:, :, None] * u0[:, None, :]
-        nvar = jnp.where(pick[:, None, None], cmean[:, None, None] * P, nvar)
-        cvar = jnp.where(pick, s2 / n_tot, cvar)
-
-    # gates
     dvec = pts_world - center
     dist = jnp.einsum("ni,ni->n", normal, dvec)
-    range_dis = jnp.einsum("ni,ni->n", dvec, dvec) - dist * dist
+    dd = jnp.einsum("ni,ni->n", dvec, dvec)
+    range_dis = dd - dist * dist
     in_radius = range_dis <= 9.0 * radius
 
-    sigma = (jnp.einsum("ni,nij,nj->n", dvec, nvar, dvec)
+    # d^T [cmean (I - n n^T)] d = cmean * (|d|^2 - (n.d)^2)
+    sigma = (cmean * range_dis
              + cvar
              + jnp.einsum("ni,nij,nj->n", normal, var_world, normal))
     in_gate = jnp.abs(dist) < 3.0 * jnp.sqrt(jnp.maximum(sigma, 1e-12))
-    valid = valid & in_radius & in_gate & (mask > 0)
-
+    valid = found & in_radius & in_gate & (mask > 0)
     return dict(valid=valid, normal=normal, center=center, sigma=sigma,
                 dist=dist)
+
+
+def match_points(levels, cfg: MapConfig, pts_world: jnp.ndarray,
+                 var_world: jnp.ndarray, mask: jnp.ndarray):
+    """Associate world points with map planes (locate + eval in one)."""
+    rec, found = match_locate(levels, cfg, pts_world, mask)
+    return match_eval(rec, found, pts_world, var_world, mask)
 
 
 # ---------------------------------------------------------------------------
@@ -345,9 +477,9 @@ def marginalize_level(lv: VoxelLevel, cfg: MapConfig, Rs, ps, mp,
     moved = Cluster.empty((lv.keys.shape[0],))
     tr_m = jnp.zeros_like(lv.fix_tr)
     for i in range(mgsize):
-        c_w = cl.transform(lv.win[:, mp[i]], Rs[i], ps[i])
+        c_w = cl.transform(lv.win[mp[i]], Rs[i], ps[i])
         moved = cl.merge(moved, c_w)
-        tr_m = tr_m + lv.win_tr[:, mp[i]]
+        tr_m = tr_m + lv.win_tr[mp[i]]
 
     take = lv.fix.n < cfg.max_points
     folded = cl.merge(lv.fix, moved)
@@ -361,9 +493,9 @@ def marginalize_level(lv: VoxelLevel, cfg: MapConfig, Rs, ps, mp,
     win, win_tr = lv.win, lv.win_tr
     for i in range(mgsize):
         win = jax.tree.map(
-            lambda full, z=None: full.at[:, mp[i]].set(jnp.zeros_like(full[:, mp[i]])),
+            lambda full: full.at[mp[i]].set(jnp.zeros_like(full[mp[i]])),
             win)
-        win_tr = win_tr.at[:, mp[i]].set(0.0)
+        win_tr = win_tr.at[mp[i]].set(0.0)
 
     return dataclasses.replace(lv, fix=fix, fix_tr=fix_tr, win=win,
                                win_tr=win_tr)
@@ -372,6 +504,53 @@ def marginalize_level(lv: VoxelLevel, cfg: MapConfig, Rs, ps, mp,
 def marginalize(levels, cfg: MapConfig, Rs, ps, mp, win_count, mgsize: int):
     return tuple(marginalize_level(lv, cfg, Rs, ps, mp, win_count, mgsize)
                  for lv in levels)
+
+
+# ---------------------------------------------------------------------------
+# Distance-based eviction (reference idle-time reclamation: drop octrees
+# whose jour stamp is > 700 m behind the current travel distance,
+# voxelslam.cpp:1786-1833)
+# ---------------------------------------------------------------------------
+
+def evict_level(lv: VoxelLevel, jour_now, max_dist: float) -> VoxelLevel:
+    """Rebuild the level keeping only voxels created within `max_dist`
+    of the current journey distance. Rehashes survivors into a fresh
+    table (open addressing cannot delete in place without breaking probe
+    chains) and permutes every per-slot array. Run occasionally from the
+    host when load factor grows — not in the per-scan step."""
+    C = lv.keys.shape[0]
+    keep = lv.occ & (jour_now - lv.jour <= max_dist)
+    nkeys, nocc = vh.empty_table(C)
+    nkeys, nocc, slots = vh.insert(nkeys, nocc, lv.keys, keep)
+    # barrier: see voxel_hash.insert (scatter fusion assertion)
+    tgt, keep = jax.lax.optimization_barrier(
+        (jnp.where(keep & (slots >= 0), slots, C), keep))
+
+    def perm(src):
+        return jnp.zeros_like(src).at[tgt].set(
+            jnp.where(keep.reshape((-1,) + (1,) * (src.ndim - 1)),
+                      src, jnp.zeros_like(src)), mode="drop")
+
+    def perm_w(src):   # (W, C, ...) arrays: permute axis 1
+        z = jnp.zeros_like(src)
+        kk = keep.reshape((1, -1) + (1,) * (src.ndim - 2))
+        return z.at[:, tgt].set(jnp.where(kk, src, 0.0), mode="drop")
+
+    return VoxelLevel(
+        keys=nkeys, occ=nocc,
+        win=jax.tree.map(perm_w, lv.win),
+        win_tr=perm_w(lv.win_tr),
+        fix=jax.tree.map(perm, lv.fix),
+        fix_tr=perm(lv.fix_tr),
+        state=perm(lv.state),
+        slab=perm(lv.slab),
+        lam=perm(lv.lam),
+        jour=perm(lv.jour),
+    )
+
+
+def evict(levels, jour_now, max_dist: float = 700.0):
+    return tuple(evict_level(lv, jour_now, max_dist) for lv in levels)
 
 
 def map_stats(levels):
@@ -397,7 +576,7 @@ def harvest_level(lv: VoxelLevel, cfg: MapConfig, mp: jnp.ndarray,
     """
     C = lv.keys.shape[0]
     W = mp.shape[0]
-    n_win = jnp.sum(lv.win.n, axis=-1)
+    n_win = jnp.sum(lv.win.n, axis=0)
     eligible = ((lv.state == STATE_PLANE)
                 & (lv.lam[:, 0] <= eig_ratio * jnp.maximum(lv.lam[:, 1], 1e-12))
                 & (n_win > 0))
@@ -405,8 +584,10 @@ def harvest_level(lv: VoxelLevel, cfg: MapConfig, mp: jnp.ndarray,
     valid = idx < C
     safe = jnp.minimum(idx, C - 1)
 
-    # (F, W) window clusters in logical frame order
-    win = jax.tree.map(lambda a: a[safe][:, mp], lv.win)
+    # (F, W) window clusters in logical frame order: take slots in mp
+    # order (W-major layout), gather factor rows, then move W inside
+    win = jax.tree.map(
+        lambda a: jnp.moveaxis(a[mp][:, safe], 0, 1), lv.win)
     win = jax.tree.map(
         lambda a: jnp.where(
             valid.reshape((-1,) + (1,) * (a.ndim - 1)), a, jnp.zeros_like(a)),

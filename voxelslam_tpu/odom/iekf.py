@@ -85,16 +85,29 @@ def iekf_update(state: NavState, levels, map_cfg, pts_local: jnp.ndarray,
 
     Returns (state, ok, diag) where ok is the divergence gate and diag
     holds match statistics.
+
+    The hash-probe (octree descent) runs only when needed: once at the
+    first iteration and once more after convergence (the reference's
+    rematch schedule with per-point cached nodes + `inside()`
+    short-circuit, voxelslam.cpp:988-1010); the per-iteration gate
+    re-evaluation is pure elementwise math on the cached plane records.
     """
     x_prop = state
     cov_inv = jnp.linalg.inv(state.cov)
     phat = so3.hat(pts_local)
+    N = pts_local.shape[0]
+
+    def locate(st):
+        wld = pts_local @ st.R.T + st.p
+        return vm.match_locate(levels, map_cfg, wld, mask)
 
     def body(c):
-        it, st, rematch, stop, nnt, G, nmatch = c
+        it, st, rematch, stop, nnt, G, nmatch, rec, found, need_loc = c
+        rec, found = jax.lax.cond(
+            need_loc, lambda _: locate(st), lambda _: (rec, found), None)
         vw = var_world(st, pts_local, var_body)
         wld = pts_local @ st.R.T + st.p
-        m = vm.match_points(levels, map_cfg, wld, vw, mask)
+        m = vm.match_eval(rec, found, wld, vw, mask)
         ok = m["valid"]
         w = ok.astype(wld.dtype) / (5e-4 + m["sigma"])
         nrm = m["normal"]
@@ -113,16 +126,19 @@ def iekf_update(state: NavState, levels, map_cfg, pts_local: jnp.ndarray,
             converged | ((rematch == 0) & (it == max_iter - 2)), 1, 0)
         stop_new = (rematch_new >= 2) | (it == max_iter - 1)
         return (it + 1, st_new, rematch_new, stop_new, nnt_new, G_new,
-                jnp.sum(ok))
+                jnp.sum(ok), rec, found, rematch_new > rematch)
 
     def cond(c):
         return (~c[3]) & (c[0] < max_iter)
 
     nnt0 = jnp.zeros((3, 3))
     G0 = jnp.zeros((DIM, DIM))
+    rec0 = jnp.zeros((N, vm.SLAB), pts_local.dtype)
+    found0 = jnp.zeros((N,), jnp.bool_)
     c0 = (jnp.int32(0), state, jnp.int32(0), jnp.bool_(False), nnt0, G0,
-          jnp.int32(0))
-    it, st, rematch, stop, nnt, G, nmatch = jax.lax.while_loop(cond, body, c0)
+          jnp.int32(0), rec0, found0, jnp.bool_(True))
+    (it, st, rematch, stop, nnt, G, nmatch, rec, found,
+     need_loc) = jax.lax.while_loop(cond, body, c0)
 
     cov_new = (jnp.eye(DIM) - G) @ st.cov
     st = dataclasses.replace(st, cov=cov_new)

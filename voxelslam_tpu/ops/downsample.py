@@ -8,6 +8,7 @@ dedup + segment-mean that keeps static shapes: output is padded to
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from . import voxel_hash as vh
@@ -23,8 +24,12 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
     keys = vh.voxel_key(points, voxel_size)
     uniq, uvalid, inv = vh.dedup_keys(keys, mask > 0, out_max)
     U = out_max
-    seg = jnp.where(inv >= 0, inv, U)
-    w = ((mask > 0) & (inv >= 0)).astype(points.dtype)
+    # barrier: seg (indices) and w (updates) share the `inv >= 0`
+    # producer; fusing it into two operands of one scatter trips an
+    # XLA:TPU fusion assertion (scatter_emitter.cc)
+    seg, w = jax.lax.optimization_barrier(
+        (jnp.where(inv >= 0, inv, U),
+         ((mask > 0) & (inv >= 0)).astype(points.dtype)))
     n = jnp.zeros((U,)).at[seg].add(w, mode="drop")
     s = jnp.zeros((U, 3)).at[seg].add(points * w[:, None], mode="drop")
     out = s / jnp.maximum(n, 1.0)[:, None]

@@ -95,6 +95,13 @@ def insert(table_keys: jnp.ndarray, occ: jnp.ndarray,
     the table resolve to their existing slot. Rows that exhaust
     MAX_PROBES (table overfull) return slot -1 and are dropped by the
     caller; keep load factor < ~0.5.
+
+    Because the queries are deduplicated, no query can ever hit a key
+    written by ANOTHER query of this same insert — so all key/occ writes
+    are deferred to ONE scatter after the probe loop. The loop carries
+    only a (C,) `claimed` bitmap (slots won this insert probe past it
+    like occupied ones), never the key table itself: the per-round
+    (C, 3) table rewrite was the dominant cost of the old formulation.
     """
     C = table_keys.shape[0]
     Q = queries.shape[0]
@@ -102,39 +109,49 @@ def insert(table_keys: jnp.ndarray, occ: jnp.ndarray,
     qidx = jnp.arange(Q, dtype=jnp.int32)
 
     def body(state):
-        r, tkeys, tocc, slot, done = state
+        r, slot, done, claimed = state
         cand = (h0 + r) % C
-        k = tkeys[cand]
-        o = tocc[cand]
+        k = table_keys[cand]
+        o = occ[cand]
         hit = o & jnp.all(k == queries, axis=-1) & ~done
         slot = jnp.where(hit, cand, slot)
         done = done | hit
 
-        # claim empty slots: elect one winner per candidate slot
-        want = ~done & ~o
-        election = jnp.full((C,), Q, jnp.int32).at[
-            jnp.where(want, cand, C - 1)
-        ].min(jnp.where(want, qidx, Q), mode="drop")
+        # claim empty slots: elect one winner per contested free slot.
+        # barrier: election indices and updates share the `want`
+        # producer chain — fusing it into two operands of one scatter
+        # trips the XLA:TPU fusion assertion (scatter_emitter.cc)
+        want = ~done & ~o & ~claimed[cand]
+        e_idx, e_upd = jax.lax.optimization_barrier(
+            (jnp.where(want, cand, C - 1), jnp.where(want, qidx, Q)))
+        election = jnp.full((C,), Q, jnp.int32).at[e_idx].min(
+            e_upd, mode="drop")
         won = want & (election[cand] == qidx)
-        tkeys = tkeys.at[jnp.where(won, cand, C)].set(
-            jnp.where(won[:, None], queries, EMPTY_KEY), mode="drop")
-        tocc = tocc.at[jnp.where(won, cand, C)].set(won, mode="drop")
+        claimed = claimed.at[jnp.where(won, cand, C)].set(True, mode="drop")
         slot = jnp.where(won, cand, slot)
         done = done | won
-        return r + 1, tkeys, tocc, slot, done
+        return r + 1, slot, done, claimed
 
     def cond(state):
-        r = state[0]
-        done = state[4]
-        # early exit (see lookup): most scans resolve every key in 1-2
-        # rounds; the remaining rounds would re-run table-wide election
-        # scatters for nothing
+        r, slot, done, claimed = state
+        # early exit: almost every query resolves in round 1-2
         return (r < MAX_PROBES) & ~jnp.all(done)
 
     slot0 = jnp.full((Q,), -1, jnp.int32)
     done0 = ~valid
-    _, table_keys, occ, slot, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), table_keys, occ, slot0, done0))
+    claimed0 = jnp.zeros((C,), jnp.bool_)
+    _, slot, _, claimed = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), slot0, done0, claimed0))
+
+    # single deferred write of all newly claimed slots. The barrier keeps
+    # the shared (slot, queries) producer chain from being fused into two
+    # operands of one scatter — that trips an XLA:TPU fusion-pass
+    # assertion (scatter_emitter.cc ShouldFuseInputIntoScatter).
+    new = (slot >= 0) & claimed[jnp.maximum(slot, 0)]
+    tgt = jnp.where(new, slot, C)
+    tgt, upd = jax.lax.optimization_barrier((tgt, queries))
+    table_keys = table_keys.at[tgt].set(upd, mode="drop")
+    occ = occ.at[tgt].set(True, mode="drop")
     return table_keys, occ, slot
 
 
@@ -169,9 +186,14 @@ def dedup_keys(keys: jnp.ndarray, valid: jnp.ndarray, unique_max: int):
     overflow = uid_sorted >= unique_max
     uid_sorted = jnp.where(valid_sorted & ~overflow, uid_sorted, -1)
 
-    # gather unique keys
+    # gather unique keys. Barriers: indices and updates of both scatters
+    # share the sort-output producers (order/sk/uid_sorted) — fusing one
+    # producer into two scatter operands trips an XLA:TPU fusion-pass
+    # assertion (scatter_emitter.cc ShouldFuseInputIntoScatter).
     uniq_keys = jnp.full((unique_max, 3), EMPTY_KEY, jnp.int32)
-    tgt = jnp.where(first & ~overflow, uid_sorted, unique_max)
+    tgt, sk, order, uid_sorted = jax.lax.optimization_barrier(
+        (jnp.where(first & ~overflow, uid_sorted, unique_max), sk, order,
+         uid_sorted))
     uniq_keys = uniq_keys.at[tgt].set(sk, mode="drop")
     n_uniq = jnp.sum((first & ~overflow).astype(jnp.int32))
     uniq_valid = jnp.arange(unique_max) < n_uniq

@@ -95,6 +95,12 @@ class SlamPipeline:
         self._jit_integrate = jax.jit(self._integrate_preint)
         self._jit_refresh = jax.jit(self._refresh)
         self._jit_push_fixed = jax.jit(self._push_fixed)
+        self._jit_push_fixed_refresh = jax.jit(self._push_fixed_refresh)
+        self._jit_occ_counts = jax.jit(
+            lambda levels: jnp.stack([jnp.sum(lv.occ) for lv in levels]))
+        self._jit_evict = jax.jit(
+            lambda levels, jour: vm.evict(levels, jour,
+                                          self.cfg.map.evict_dist))
         self._jit_megastep = jax.jit(self._steady_megastep, donate_argnums=(1, 2, 4))
 
         self.reset(session=0, hard=True)
@@ -273,11 +279,14 @@ class SlamPipeline:
         # 4) push into window slot mp[W-1]
         win = jax.tree.map(lambda a, b: a.at[W - 1].set(b), win, st)
         wld = down @ st.R.T + st.p
-        levels = vm.insert_scan(levels, cfg.map, wld, down, tr, dmask,
-                                mp[W - 1], jour)
+        levels, touched = vm.insert_scan_touched(
+            levels, cfg.map, wld, down, tr, dmask, mp[W - 1], jour)
 
-        # 5) plane refresh with full window
-        levels = vm.refresh_planes(levels, cfg.map, win.R, win.p, mp, W)
+        # 5) incremental plane refresh: only voxels touched by this scan
+        #    (the reference's multi_recut over the updated octree set,
+        #    voxelslam.cpp:1682-1737 — untouched planes stay as-is)
+        levels = vm.refresh_planes(levels, cfg.map, win.R, win.p, mp, W,
+                                   touched=touched)
 
         # 6) windowed LI-BA
         factors = vm.harvest(levels, cfg.map, mp, cfg.lba.factor_max)
@@ -287,9 +296,9 @@ class SlamPipeline:
         d6 = jnp.diag(H)[0:6]
         v6 = 1.0 / jnp.maximum(d6, 1e-6)
 
-        # 7) refresh + marginalize with optimized poses, slide
-        levels = vm.refresh_planes(levels, cfg.map, new_win.R, new_win.p,
-                                   mp, W)
+        # 7) marginalize with optimized poses, slide (plane params of
+        #    marginalized voxels refresh on their next touch, matching
+        #    the reference's margi plane-update-on-new-points)
         levels = vm.marginalize(levels, cfg.map, new_win.R, new_win.p,
                                 mp, W, mg)
         mp_new = jnp.concatenate([mp[mg:], mp[:mg]])
@@ -652,9 +661,24 @@ class SlamPipeline:
         self.scan_tr = np.roll(self.scan_tr, -mg, axis=0)
         self.win_count = W - mg
 
+        # periodic memory reclamation (reference idle-time eviction of
+        # far-away octrees, voxelslam.cpp:1786-1833): rebuild any level
+        # whose fixed-capacity table got too full, dropping voxels left
+        # > evict_dist of travel behind
+        evicted = False
+        if (cfg.map.evict_check_every > 0
+                and self.scan_count % cfg.map.evict_check_every == 0):
+            occ = np.asarray(self._jit_occ_counts(self.levels))
+            load = occ / np.array(cfg.map.capacities, np.float64)
+            if float(load.max()) > cfg.map.evict_load:
+                self.levels = self._jit_evict(self.levels,
+                                              jnp.float32(self.jour))
+                evicted = True
+
         return {"phase": "odom", "ok": ok, "matches": int(matches),
                 "nnt_eig0": float(nnt_eig0), "t": t_end,
-                "ba_r0": float(r0), "ba_r1": float(r1)}
+                "ba_r0": float(r0), "ba_r1": float(r1),
+                "evicted": evicted}
 
     def apply_correction(self, dx_R: np.ndarray, dx_p: np.ndarray,
                          g_update: bool, map_keyframes) -> None:
@@ -710,14 +734,26 @@ class SlamPipeline:
         return vm.insert_fixed(levels, self.cfg.map, pts_world, tr, mask,
                                jour)
 
+    def _push_fixed_refresh(self, levels, pts_world, mask, jour, win, mp,
+                            win_count):
+        """insert_fixed + incremental plane refresh of the touched voxels
+        (steady-phase keyframe reload must produce matchable planes now —
+        the scan-driven refresh only covers scan-touched voxels)."""
+        tr = jnp.zeros(pts_world.shape[0])
+        levels, touched = vm.insert_fixed_touched(
+            levels, self.cfg.map, pts_world, tr, mask, jour)
+        return vm.refresh_planes(levels, self.cfg.map, win.R, win.p, mp,
+                                 win_count, touched=touched)
+
     def insert_keyframe_fixed(self, kf) -> None:
         """Mid-term association: fold one historical keyframe cloud into
         the live map as fixed statistics (reference keyframe_loading,
-        voxelslam.cpp:1379-1438); planes refresh on the next scan."""
+        voxelslam.cpp:1379-1438), refreshing the touched planes."""
         wld = kf.cloud @ kf.R0.T + kf.p0
-        self.levels = self._jit_push_fixed(
+        self.levels = self._jit_push_fixed_refresh(
             self.levels, jnp.array(wld, jnp.float32),
-            jnp.array(kf.mask, jnp.float32), self.jour)
+            jnp.array(kf.mask, jnp.float32), self.jour,
+            self.win, self.mp, jnp.int32(self.win_count))
 
     def flush(self):
         """Emit remaining window states as ScanPoses (end of run)."""
