@@ -20,6 +20,12 @@ import jax
 import jax.numpy as jnp
 
 MAX_PROBES = 16
+# First rounds run unrolled (straight-line, fully fused); the
+# while-loop only mops up stragglers. On TPU each while-loop round
+# pays op-dispatch overhead that dwarfs the [Q]-sized body, and with a
+# healthy load factor almost every query resolves in <= 2 rounds, so
+# the loop usually executes zero iterations.
+UNROLL = 2
 EMPTY_KEY = jnp.iinfo(jnp.int32).min  # sentinel stored in keys[:, 0] when free
 
 
@@ -82,7 +88,10 @@ def lookup(table_keys: jnp.ndarray, occ: jnp.ndarray,
 
     slot = jnp.full(queries.shape[:-1], -1, jnp.int32)
     done = ~valid
-    _, slot, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), slot, done))
+    state = (jnp.int32(0), slot, done)
+    for _ in range(UNROLL):
+        state = body(state)
+    _, slot, _ = jax.lax.while_loop(cond, body, state)
     return slot
 
 
@@ -140,8 +149,10 @@ def insert(table_keys: jnp.ndarray, occ: jnp.ndarray,
     slot0 = jnp.full((Q,), -1, jnp.int32)
     done0 = ~valid
     claimed0 = jnp.zeros((C,), jnp.bool_)
-    _, slot, _, claimed = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), slot0, done0, claimed0))
+    state = (jnp.int32(0), slot0, done0, claimed0)
+    for _ in range(UNROLL):
+        state = body(state)
+    _, slot, _, claimed = jax.lax.while_loop(cond, body, state)
 
     # single deferred write of all newly claimed slots. The barrier keeps
     # the shared (slot, queries) producer chain from being fused into two
