@@ -123,19 +123,117 @@ class SlamConfig:
     extrinsic_t: Tuple[float, ...] = (0.0, 0.0, 0.0)
 
 
+# Per-sensor presets with numeric parity to the reference YAMLs
+# (config/{avia,avia_fly,hesai,mid360,ouster,velodyne}.yaml). The
+# reference stores plane_eigen_value_thre as reciprocals
+# (voxelslam.cpp:930-931): thre=[4,..] -> ratio gate lam0/lam2 < 1/4.
 _PRESETS = {
-    # Values follow the reference's per-sensor YAMLs in spirit; exact
-    # numeric parity is refined as configs are exercised.
-    "avia": SlamConfig(),
-    "mid360": SlamConfig(map=MapConfig(voxel_size=0.5)),
-    "hesai": SlamConfig(map=MapConfig(voxel_size=1.0)),
-    "ouster": SlamConfig(map=MapConfig(voxel_size=1.0)),
-    "velodyne": SlamConfig(map=MapConfig(voxel_size=1.0)),
-    # MARS aerial: big voxels, high-fly loop profile (config/avia_fly.yaml)
+    # config/avia.yaml — handheld Livox Avia (campus / elevator seq)
+    "avia": SlamConfig(
+        map=MapConfig(voxel_size=1.0, min_eigen_value=0.0025,
+                      plane_thr=(0.25, 0.25, 0.25)),
+        odom=OdometryConfig(cov_gyr=0.1, cov_acc=1.0, down_size=0.1,
+                            dept_err=0.02, beam_err=0.05,
+                            degrade_bound=10, blind=0.5,
+                            point_filter_num=3),
+        lba=LocalBAConfig(noise_gyr=0.01, noise_acc=1.0,
+                          imu_coef=1e-4),
+        loop=LoopConfig(jud_default=0.5, icp_eigval=10.0,
+                        ratio_drift=0.01, curr_halt=10, prev_halt=10,
+                        acsize=2, mgsize=2),
+        gba=GBAConfig(voxel_size=2.0, min_eigen_value=0.1,
+                      eigen_value_thr=0.25, total_max_iter=6),
+        lidar_type="livox",
+        extrinsic_t=(0.04165, 0.02326, -0.0284),
+    ),
+    # config/mid360.yaml — Livox Mid-360
+    "mid360": SlamConfig(
+        map=MapConfig(voxel_size=1.0, min_eigen_value=0.0025,
+                      plane_thr=(0.25, 0.25, 0.25)),
+        odom=OdometryConfig(cov_gyr=0.1, cov_acc=1.0, down_size=0.1,
+                            dept_err=0.02, beam_err=0.05,
+                            degrade_bound=10, blind=0.5,
+                            point_filter_num=3),
+        lba=LocalBAConfig(noise_gyr=0.01, noise_acc=2.0, imu_coef=2e-4),
+        loop=LoopConfig(jud_default=0.45, icp_eigval=9.0,
+                        ratio_drift=0.01),
+        gba=GBAConfig(voxel_size=2.0, min_eigen_value=0.01,
+                      eigen_value_thr=0.25, total_max_iter=6),
+        lidar_type="livox",
+        extrinsic_t=(-0.011, -0.02329, 0.04412),
+    ),
+    # config/hesai.yaml — HILTI Hesai PandarXT-32 handheld (multi-session)
+    "hesai": SlamConfig(
+        map=MapConfig(voxel_size=1.0, min_eigen_value=0.0025,
+                      plane_thr=(1.0, 1.0, 1.0)),
+        odom=OdometryConfig(cov_gyr=0.01, cov_acc=1.0, down_size=0.1,
+                            dept_err=0.01, beam_err=0.01,
+                            degrade_bound=100, blind=0.7,
+                            point_filter_num=1),
+        lba=LocalBAConfig(noise_gyr=0.01, noise_acc=1.0,
+                          imu_coef=2.5e-5),
+        loop=LoopConfig(jud_default=0.5, icp_eigval=10.0,
+                        ratio_drift=0.01, curr_halt=10, prev_halt=10,
+                        acsize=10, mgsize=5),
+        gba=GBAConfig(voxel_size=1.0, min_eigen_value=0.01,
+                      eigen_value_thr=0.5, total_max_iter=3),
+        lidar_type="hesai",
+        extrinsic_R=(0, -1, 0, -1, 0, 0, 0, 0, -1),
+        extrinsic_t=(-0.001, -0.00855, 0.055),
+    ),
+    # config/ouster.yaml — Newer College OS1 (max_layer 1)
+    "ouster": SlamConfig(
+        map=MapConfig(voxel_size=2.0, max_layer=1, min_eigen_value=0.01,
+                      plane_thr=(0.25, 0.25), min_point=(5, 5),
+                      capacities=(1 << 15, 1 << 16),
+                      unique_max=(4096, 8192)),
+        odom=OdometryConfig(cov_gyr=0.01, cov_acc=1.0, down_size=0.4,
+                            dept_err=0.01, beam_err=0.01,
+                            degrade_bound=100, blind=1.0,
+                            point_filter_num=3),
+        lba=LocalBAConfig(noise_gyr=0.01, noise_acc=1.0, imu_coef=2e-4),
+        loop=LoopConfig(jud_default=0.5, icp_eigval=9.0,
+                        ratio_drift=0.01, curr_halt=10, prev_halt=10,
+                        acsize=2, mgsize=2),
+        gba=GBAConfig(voxel_size=2.0, min_eigen_value=0.01,
+                      eigen_value_thr=0.25, total_max_iter=6),
+        lidar_type="ouster",
+        extrinsic_R=(-1, 0, 0, 0, -1, 0, 0, 0, 1),
+        extrinsic_t=(0.0, 0.0, 0.0285),
+    ),
+    # config/velodyne.yaml — UrbanNav VLP-16
+    "velodyne": SlamConfig(
+        map=MapConfig(voxel_size=2.0, min_eigen_value=0.01,
+                      plane_thr=(0.25, 0.25, 0.25)),
+        odom=OdometryConfig(cov_gyr=0.01, cov_acc=1.0, down_size=0.25,
+                            dept_err=0.01, beam_err=0.01,
+                            degrade_bound=100, blind=2.8,
+                            point_filter_num=3),
+        lba=LocalBAConfig(noise_gyr=0.01, noise_acc=1.0, imu_coef=1e-4),
+        loop=LoopConfig(jud_default=0.45, icp_eigval=15.0,
+                        ratio_drift=0.01, curr_halt=10, prev_halt=10,
+                        acsize=2, mgsize=2),
+        gba=GBAConfig(voxel_size=2.0, min_eigen_value=0.01,
+                      eigen_value_thr=1.0 / 9.0, total_max_iter=3),
+        lidar_type="velodyne",
+        extrinsic_t=(0.0, 0.0, 0.28),
+    ),
+    # config/avia_fly.yaml — MARS aerial: big voxels, high-fly profile
     "avia_fly": SlamConfig(
-        map=MapConfig(voxel_size=4.0),
-        gba=GBAConfig(voxel_size=15.0),
-        loop=LoopConfig(is_high_fly=True),
+        map=MapConfig(voxel_size=4.0, min_eigen_value=0.01,
+                      plane_thr=(0.25, 0.25, 0.25)),
+        odom=OdometryConfig(cov_gyr=0.01, cov_acc=1.0, down_size=0.5,
+                            dept_err=0.01, beam_err=0.01,
+                            degrade_bound=100, blind=0.5,
+                            point_filter_num=3),
+        lba=LocalBAConfig(noise_gyr=0.01, noise_acc=1.0, imu_coef=1e-4),
+        loop=LoopConfig(jud_default=0.4, icp_eigval=9.0,
+                        ratio_drift=0.01, curr_halt=10, prev_halt=10,
+                        acsize=2, mgsize=2, is_high_fly=True),
+        gba=GBAConfig(voxel_size=15.0, min_eigen_value=10.0,
+                      eigen_value_thr=0.5, total_max_iter=10),
+        lidar_type="livox",
+        extrinsic_t=(0.04165, 0.02326, -0.0284),
     ),
 }
 
