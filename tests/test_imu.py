@@ -182,6 +182,41 @@ class TestEKF:
         assert np.all(np.diag(c)[:9] >= np.diag(np.asarray(st.cov))[:9] - 1e-9)
         np.testing.assert_allclose(c, c.T, atol=1e-8)
 
+    def test_propagate_matches_sequential(self):
+        """The log-depth associative propagate must reproduce the
+        sequential lax.scan formulation (mean, covariance, and cached
+        de-skew poses), including padded/masked samples."""
+        traj, ts, gyr, acc = self._setup()
+        st = _state_from_traj(traj, 0.3)
+        covd = jnp.ones(3) * 1e-4
+        # pad with invalid tail samples to exercise masking
+        pad = 7
+        ts_p = np.concatenate([ts, np.full(pad, ts[-1])])
+        gyr_p = np.concatenate([gyr, np.zeros((pad, 3))])
+        acc_p = np.concatenate([acc, np.zeros((pad, 3))])
+        mask = np.concatenate([np.ones(len(ts)), np.zeros(pad)])
+        args = (st, jnp.array(ts_p, jnp.float32),
+                jnp.array(gyr_p, jnp.float32), jnp.array(acc_p, jnp.float32),
+                jnp.array(mask, jnp.float32), 0.3, 0.4, 0.3,
+                covd, covd, covd * 0.01, covd * 0.01)
+        st_a, poses_a = ekf.propagate(*args)
+        st_s, poses_s = ekf.propagate_sequential(*args)
+        np.testing.assert_allclose(np.asarray(st_a.p), np.asarray(st_s.p),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(st_a.v), np.asarray(st_s.v),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(st_a.R), np.asarray(st_s.R),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(st_a.cov),
+                                   np.asarray(st_s.cov), atol=1e-6)
+        for fa, fs in zip((poses_a.offt, poses_a.R, poses_a.p, poses_a.v,
+                           poses_a.w, poses_a.a),
+                          (poses_s.offt, poses_s.R, poses_s.p, poses_s.v,
+                           poses_s.w, poses_s.a)):
+            np.testing.assert_allclose(
+                np.where(np.isfinite(fa), fa, 0.0),
+                np.where(np.isfinite(fs), fs, 0.0), atol=1e-5)
+
     def test_deskew_recovers_static_geometry(self):
         # Raycast a moving scan against the room; after deskew, points
         # transformed with the scan-end pose must land back on the planes.

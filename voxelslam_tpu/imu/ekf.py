@@ -36,16 +36,21 @@ class ImuPoses:
     a: jnp.ndarray     # (M, 3) world acceleration (gravity-compensated)
 
 
-def propagate(state: NavState, imu_ts: jnp.ndarray, gyr: jnp.ndarray,
-              acc: jnp.ndarray, mask: jnp.ndarray, scan_beg, scan_end,
-              last_end, cov_gyr: jnp.ndarray, cov_acc: jnp.ndarray,
-              cov_bg: jnp.ndarray, cov_ba: jnp.ndarray,
-              scale_gravity: float = 1.0):
+def propagate_sequential(state: NavState, imu_ts: jnp.ndarray,
+                         gyr: jnp.ndarray, acc: jnp.ndarray,
+                         mask: jnp.ndarray, scan_beg, scan_end,
+                         last_end, cov_gyr: jnp.ndarray,
+                         cov_acc: jnp.ndarray, cov_bg: jnp.ndarray,
+                         cov_ba: jnp.ndarray, scale_gravity: float = 1.0):
     """Forward-propagate mean + covariance through one scan's IMU batch.
 
     imu_ts/gyr/acc: (N, ...) padded samples covering [last_end, scan_end];
     mask marks valid samples. Returns (state_at_scan_end, ImuPoses).
     Mirrors IMUEKF::motion_blur's propagation half (ekf_imu.hpp:41-133).
+
+    Sequential `lax.scan` formulation — kept as the ground truth for
+    `propagate` (the log-depth associative form used in production; a
+    64-step sequential scan of tiny ops is dispatch-bound on TPU).
     """
     dtype = gyr.dtype
     f32 = lambda x: jnp.asarray(x, dtype)
@@ -110,6 +115,117 @@ def propagate(state: NavState, imu_ts: jnp.ndarray, gyr: jnp.ndarray,
         v=v + a_last * dte,
         R=R @ so3.exp(w_last * dte),
         p=p + v * dte + 0.5 * a_last * dte * dte,
+        t=scan_end,
+        cov=cov,
+    )
+    return new_state, poses
+
+
+def propagate(state: NavState, imu_ts: jnp.ndarray, gyr: jnp.ndarray,
+              acc: jnp.ndarray, mask: jnp.ndarray, scan_beg, scan_end,
+              last_end, cov_gyr: jnp.ndarray, cov_acc: jnp.ndarray,
+              cov_bg: jnp.ndarray, cov_ba: jnp.ndarray,
+              scale_gravity: float = 1.0):
+    """Log-depth EKF propagation (same results as
+    `propagate_sequential`, which see for the reference mapping).
+
+    The per-interval recurrences are restructured for the TPU:
+
+      R_k = R_0 E_1 ... E_k            -> associative_scan of 3x3 products
+      v_k, p_k                         -> cumsums given the R prefix
+      cov_k = F_k cov F_k^T + Q_k      -> associative_scan over the affine
+                                          pairs (A,B) with composition
+                                          (A2 A1, A2 B1 A2^T + B2)
+
+    so a 64-sample scan costs ~log2(64) fused steps instead of 64
+    sequential dispatches.
+    """
+    dtype = gyr.dtype
+    f32 = lambda x: jnp.asarray(x, dtype)
+    scan_beg, scan_end, last_end = f32(scan_beg), f32(scan_end), f32(last_end)
+
+    heads_t = jnp.maximum(imu_ts[:-1], last_end)
+    tails_t = imu_ts[1:]
+    pair_valid = (mask[:-1] > 0) & (mask[1:] > 0) & (tails_t >= last_end)
+    dt = jnp.where(pair_valid, tails_t - heads_t, 0.0)          # (M,)
+    w_mid = 0.5 * (gyr[:-1] + gyr[1:]) - state.bg               # (M, 3)
+    a_mid = 0.5 * (acc[:-1] + acc[1:]) * scale_gravity - state.ba
+
+    M = dt.shape[0]
+    I3 = jnp.eye(3, dtype=dtype)
+
+    # ---- rotation prefix ------------------------------------------------
+    E = so3.exp(w_mid * dt[:, None])                            # (M, 3, 3)
+    E = jnp.where(pair_valid[:, None, None], E, I3)
+    pref = jax.lax.associative_scan(
+        lambda a, b: jnp.einsum("...ij,...jk->...ik", a, b), E)
+    # pose at interval START: R_{k-1} = R0 @ prefix_{k-1}
+    R_starts = jnp.concatenate([state.R[None],
+                                jnp.einsum("ij,mjk->mik", state.R,
+                                           pref[:-1])])          # (M, 3, 3)
+    R_end = state.R @ pref[-1]
+
+    # ---- velocity / position prefixes -----------------------------------
+    a_world = jnp.einsum("mij,mj->mi", R_starts, a_mid) + state.g
+    dv = jnp.where(pair_valid[:, None], a_world * dt[:, None], 0.0)
+    v_in = state.v + jnp.cumsum(dv, axis=0)                      # v_k
+    v_starts = jnp.concatenate([state.v[None], v_in[:-1]])       # v_{k-1}
+    dp = jnp.where(pair_valid[:, None],
+                   v_starts * dt[:, None]
+                   + 0.5 * a_world * (dt * dt)[:, None], 0.0)
+    p_in = state.p + jnp.cumsum(dp, axis=0)
+    p_starts = jnp.concatenate([state.p[None], p_in[:-1]])
+    v_end, p_end = v_in[-1], p_in[-1]
+
+    # ---- covariance: affine pair reduction ------------------------------
+    a_hat = so3.hat(a_mid)                                       # (M, 3, 3)
+    F = jnp.tile(jnp.eye(DIM, dtype=dtype)[None], (M, 1, 1))
+    F = F.at[:, 0:3, 0:3].set(so3.exp(-w_mid * dt[:, None]))
+    F = F.at[:, 0:3, 9:12].set(-I3[None] * dt[:, None, None])
+    F = F.at[:, 3:6, 6:9].set(I3[None] * dt[:, None, None])
+    F = F.at[:, 6:9, 0:3].set(
+        -jnp.einsum("mij,mjk->mik", R_starts, a_hat) * dt[:, None, None])
+    F = F.at[:, 6:9, 12:15].set(-R_starts * dt[:, None, None])
+    dt2 = (dt * dt)[:, None, None]
+    Q = jnp.zeros((M, DIM, DIM), dtype=dtype)
+    Q = Q.at[:, 0:3, 0:3].set(jnp.diag(cov_gyr)[None] * dt2)
+    Q = Q.at[:, 6:9, 6:9].set(
+        jnp.einsum("mij,jk,mlk->mil", R_starts, jnp.diag(cov_acc),
+                   R_starts) * dt2)
+    Q = Q.at[:, 9:12, 9:12].set(jnp.diag(cov_bg)[None] * dt2)
+    Q = Q.at[:, 12:15, 12:15].set(jnp.diag(cov_ba)[None] * dt2)
+    F = jnp.where(pair_valid[:, None, None], F,
+                  jnp.eye(DIM, dtype=dtype)[None])
+    Q = jnp.where(pair_valid[:, None, None], Q, 0.0)
+
+    def comp(l, r):
+        A1, B1 = l
+        A2, B2 = r
+        A = jnp.einsum("...ij,...jk->...ik", A2, A1)
+        B = (jnp.einsum("...ij,...jk,...lk->...il", A2, B1, A2) + B2)
+        return A, B
+
+    A_all, B_all = jax.lax.associative_scan(comp, (F, Q))
+    cov = A_all[-1] @ state.cov @ A_all[-1].T + B_all[-1]
+
+    # ---- last valid interval's w / world-accel for end extrapolation ----
+    t_key = jnp.where(pair_valid, jnp.arange(M), -1)
+    li = jnp.argmax(t_key)
+    any_valid = jnp.any(pair_valid)
+    w_last = jnp.where(any_valid, w_mid[li], 0.0)
+    a_last = jnp.where(any_valid, a_world[li], 0.0)
+
+    poses = ImuPoses(
+        offt=jnp.where(pair_valid, heads_t - scan_beg, jnp.inf),
+        R=R_starts, p=p_starts, v=v_starts, w=w_mid, a=a_world)
+
+    imu_end = jnp.max(jnp.where(mask > 0, imu_ts, -jnp.inf))
+    dte = scan_end - imu_end
+    new_state = dataclasses.replace(
+        state,
+        v=v_end + a_last * dte,
+        R=R_end @ so3.exp(w_last * dte),
+        p=p_end + v_end * dte + 0.5 * a_last * dte * dte,
         t=scan_end,
         cov=cov,
     )

@@ -86,11 +86,13 @@ def iekf_update(state: NavState, levels, map_cfg, pts_local: jnp.ndarray,
     Returns (state, ok, diag) where ok is the divergence gate and diag
     holds match statistics.
 
-    The hash-probe (octree descent) runs only when needed: once at the
-    first iteration and once more after convergence (the reference's
-    rematch schedule with per-point cached nodes + `inside()`
-    short-circuit, voxelslam.cpp:988-1010); the per-iteration gate
-    re-evaluation is pure elementwise math on the cached plane records.
+    The hash-probe (octree descent) runs exactly twice, at entry and at
+    the halfway iteration — a static unrolled version of the
+    reference's rematch schedule (per-point cached nodes + `inside()`
+    short-circuit, re-find on first iteration and after convergence,
+    voxelslam.cpp:988-1010). In between, gate re-evaluation is pure
+    elementwise math on the cached plane records, and updates are
+    masked after convergence latches `stop`.
     """
     x_prop = state
     cov_inv = jnp.linalg.inv(state.cov)
@@ -101,10 +103,8 @@ def iekf_update(state: NavState, levels, map_cfg, pts_local: jnp.ndarray,
         wld = pts_local @ st.R.T + st.p
         return vm.match_locate(levels, map_cfg, wld, mask)
 
-    def body(c):
-        it, st, rematch, stop, nnt, G, nmatch, rec, found, need_loc = c
-        rec, found = jax.lax.cond(
-            need_loc, lambda _: locate(st), lambda _: (rec, found), None)
+    def iter_math(st, rec, found):
+        """One Kalman iteration's measurement math on cached records."""
         vw = var_world(st, pts_local, var_body)
         wld = pts_local @ st.R.T + st.p
         m = vm.match_eval(rec, found, wld, vw, mask)
@@ -118,34 +118,49 @@ def iekf_update(state: NavState, levels, map_cfg, pts_local: jnp.ndarray,
         nnt_new = jnp.einsum("n,ni,nj->ij", ok.astype(wld.dtype), nrm, nrm)
 
         sol, G_new = _kalman_step(st, x_prop, cov_inv, HTH6, HTz6)
-        st_new = st.boxplus(sol)
-
         converged = ((jnp.linalg.norm(sol[0:3]) < ROT_CONV)
                      & (jnp.linalg.norm(sol[3:6]) < TRA_CONV))
-        rematch_new = rematch + jnp.where(
-            converged | ((rematch == 0) & (it == max_iter - 2)), 1, 0)
-        stop_new = (rematch_new >= 2) | (it == max_iter - 1)
-        return (it + 1, st_new, rematch_new, stop_new, nnt_new, G_new,
-                jnp.sum(ok), rec, found, rematch_new > rematch)
+        return sol, G_new, nnt_new, jnp.sum(ok), converged
 
-    def cond(c):
-        return (~c[3]) & (c[0] < max_iter)
-
-    nnt0 = jnp.zeros((3, 3))
-    G0 = jnp.zeros((DIM, DIM))
-    rec0 = jnp.zeros((N, vm.SLAB), pts_local.dtype)
-    found0 = jnp.zeros((N,), jnp.bool_)
-    c0 = (jnp.int32(0), state, jnp.int32(0), jnp.bool_(False), nnt0, G0,
-          jnp.int32(0), rec0, found0, jnp.bool_(True))
-    (it, st, rematch, stop, nnt, G, nmatch, rec, found,
-     need_loc) = jax.lax.while_loop(cond, body, c0)
+    # Fixed unrolled schedule — fully straight-line (no lax.cond /
+    # lax.while dispatch, everything fuses): relocate (hash probe)
+    # exactly twice, at entry and at the halfway iteration, matching
+    # the reference's typical converge -> rematch -> converge
+    # trajectory under its 4-iteration cap (voxelslam.cpp:988-1010);
+    # state updates are masked once `stop` latches, so early
+    # convergence freezes the estimate exactly like a loop exit.
+    relocate_at = (max_iter + 1) // 2
+    st = state
+    stop = jnp.bool_(False)
+    rematch = jnp.int32(0)
+    rec = jnp.zeros((N, vm.SLAB), pts_local.dtype)
+    found = jnp.zeros((N,), jnp.bool_)
+    nnt = jnp.zeros((3, 3))
+    G = jnp.zeros((DIM, DIM))
+    nmatch = jnp.int32(0)
+    iters = jnp.int32(0)
+    for k in range(max_iter):
+        if k == 0 or k == relocate_at:
+            rec, found = locate(st)
+        sol, G_new, nnt_new, nm_new, converged = iter_math(st, rec, found)
+        live = ~stop
+        st = st.boxplus(jnp.where(live, sol, jnp.zeros_like(sol)))
+        G = jnp.where(live, G_new, G)
+        nnt = jnp.where(live, nnt_new, nnt)
+        nmatch = jnp.where(live, nm_new, nmatch)
+        iters = iters + live.astype(jnp.int32)
+        # rematch bookkeeping: a relocation "spends" one rematch credit;
+        # stop after the post-relocation pass converges (or cap).
+        bump = converged | ((rematch == 0) & (k == max_iter - 2))
+        rematch = rematch + jnp.where(live & bump, 1, 0)
+        stop = stop | (rematch >= 2)
 
     cov_new = (jnp.eye(DIM) - G) @ st.cov
     st = dataclasses.replace(st, cov=cov_new)
 
     evals = eigvalsh3(nnt)
     ok = evals[0] >= degrade_eig
-    return st, ok, dict(nnt_eig=evals, matches=nmatch, iters=it)
+    return st, ok, dict(nnt_eig=evals, matches=nmatch, iters=iters)
 
 
 def iekf_update_kdtree(state: NavState, ref_cloud: jnp.ndarray,
