@@ -261,3 +261,38 @@ class TestEviction:
         ev = vm.evict(levels, jour_now=150.0, max_dist=700.0)
         assert float(jnp.sum(ev[0].win.n)) == n_before
         assert float(jnp.sum(ev[0].occ)) == float(jnp.sum(levels[0].occ))
+
+
+def test_lookup_insert_multi_match_single():
+    """lookup_multi / insert_multi must agree with per-table lookup /
+    insert across tables of different capacities."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from voxelslam_tpu.ops import voxel_hash as vh
+
+    rng = np.random.default_rng(7)
+    tabs, qs, vs = [], [], []
+    for C, Q in ((1 << 10, 256), (1 << 11, 512), (1 << 12, 384)):
+        keys, occ = vh.empty_table(C)
+        uk = np.unique(rng.integers(-40, 40, (C // 4, 3)).astype(np.int32),
+                       axis=0)
+        keys, occ, _ = jax.jit(vh.insert)(keys, occ, jnp.array(uk),
+                                          jnp.ones(len(uk), bool))
+        q = np.unique(rng.integers(-50, 50, (Q, 3)).astype(np.int32), axis=0)
+        v = rng.random(len(q)) > 0.1
+        tabs.append((keys, occ))
+        qs.append(jnp.array(q))
+        vs.append(jnp.array(v))
+
+    outs = jax.jit(lambda: vh.lookup_multi(tabs, qs, vs))()
+    for (tk, oc), q, v, o in zip(tabs, qs, vs, outs):
+        ref = jax.jit(vh.lookup)(tk, oc, q, v)
+        assert np.array_equal(np.asarray(o), np.asarray(ref))
+
+    ins = jax.jit(lambda: vh.insert_multi(tabs, qs, vs))()
+    for (tk, oc), q, v, (tk2, oc2, s2) in zip(tabs, qs, vs, ins):
+        rk, ro, rs = jax.jit(vh.insert)(tk, oc, q, v)
+        assert np.array_equal(np.asarray(s2), np.asarray(rs))
+        assert np.array_equal(np.asarray(tk2), np.asarray(rk))
+        assert np.array_equal(np.asarray(oc2), np.asarray(ro))

@@ -95,6 +95,55 @@ def lookup(table_keys: jnp.ndarray, occ: jnp.ndarray,
     return slot
 
 
+def lookup_multi(tables, queries, valids):
+    """Probe SEVERAL tables in one fused loop.
+
+    tables: list of (table_keys, occ); queries/valids: matching lists of
+    (Q, 3)/(Q,) arrays. Returns a list of (Q,) slot arrays. Equivalent
+    to `lookup` per table in a single while-loop.
+
+    NOTE (measured on TPU, full scan step): fusing the map's 3
+    descent-gated per-level probes through this was SLOWER than three
+    separate loops (40.4 vs 38.9 ms/scan) — the descend mask empties at
+    deeper levels so per-level loops exit after fewer rounds than one
+    loop paying max-rounds across levels. Kept for callers whose
+    per-table query sets don't shrink.
+    """
+    L = len(tables)
+    caps = [tk.shape[0] for tk, _ in tables]
+    h0s = [hash_key(q, c) for (q, c) in zip(queries, caps)]
+
+    def body(state):
+        r, slots, dones = state
+        new_slots, new_dones = [], []
+        for l in range(L):
+            tk, oc = tables[l]
+            cand = (h0s[l] + r) % caps[l]
+            k = tk[cand]
+            o = oc[cand]
+            hit = o & jnp.all(k == queries[l], axis=-1)
+            slot = jnp.where(~dones[l] & hit, cand, slots[l])
+            done = dones[l] | hit | ~o
+            new_slots.append(slot)
+            new_dones.append(done)
+        return r + 1, tuple(new_slots), tuple(new_dones)
+
+    def cond(state):
+        r, slots, dones = state
+        done_all = jnp.all(dones[0])
+        for l in range(1, L):
+            done_all = done_all & jnp.all(dones[l])
+        return (r < MAX_PROBES) & ~done_all
+
+    slots0 = tuple(jnp.full(q.shape[:-1], -1, jnp.int32) for q in queries)
+    dones0 = tuple(~v for v in valids)
+    state = (jnp.int32(0), slots0, dones0)
+    for _ in range(UNROLL):
+        state = body(state)
+    _, slots, _ = jax.lax.while_loop(cond, body, state)
+    return list(slots)
+
+
 def insert(table_keys: jnp.ndarray, occ: jnp.ndarray,
            queries: jnp.ndarray, valid: jnp.ndarray):
     """Insert (deduplicated!) keys; returns (table_keys, occ, slots).
@@ -164,6 +213,72 @@ def insert(table_keys: jnp.ndarray, occ: jnp.ndarray,
     table_keys = table_keys.at[tgt].set(upd, mode="drop")
     occ = occ.at[tgt].set(True, mode="drop")
     return table_keys, occ, slot
+
+
+def insert_multi(tables, queries, valids):
+    """`insert` over SEVERAL tables with one fused probe loop. queries
+    must be per-table deduplicated. Returns a list of
+    (table_keys, occ, slots) triples. Same measured caveat as
+    `lookup_multi`: the map's per-level inserts are faster as separate
+    loops (43.1 ms/scan fused vs 38.9 separate, full scan step)."""
+    L = len(tables)
+    caps = [tk.shape[0] for tk, _ in tables]
+    Qs = [q.shape[0] for q in queries]
+    h0s = [hash_key(q, c) for (q, c) in zip(queries, caps)]
+    qidxs = [jnp.arange(Q, dtype=jnp.int32) for Q in Qs]
+
+    def body(state):
+        r, slots, dones, claimeds = state
+        n_slots, n_dones, n_claimeds = [], [], []
+        for l in range(L):
+            tk, oc = tables[l]
+            C, Q = caps[l], Qs[l]
+            cand = (h0s[l] + r) % C
+            k = tk[cand]
+            o = oc[cand]
+            hit = o & jnp.all(k == queries[l], axis=-1) & ~dones[l]
+            slot = jnp.where(hit, cand, slots[l])
+            done = dones[l] | hit
+            want = ~done & ~o & ~claimeds[l][cand]
+            e_idx, e_upd = jax.lax.optimization_barrier(
+                (jnp.where(want, cand, C - 1), jnp.where(want, qidxs[l], Q)))
+            election = jnp.full((C,), Q, jnp.int32).at[e_idx].min(
+                e_upd, mode="drop")
+            won = want & (election[cand] == qidxs[l])
+            claimed = claimeds[l].at[jnp.where(won, cand, C)].set(
+                True, mode="drop")
+            slot = jnp.where(won, cand, slot)
+            done = done | won
+            n_slots.append(slot)
+            n_dones.append(done)
+            n_claimeds.append(claimed)
+        return r + 1, tuple(n_slots), tuple(n_dones), tuple(n_claimeds)
+
+    def cond(state):
+        r, slots, dones, claimeds = state
+        done_all = jnp.all(dones[0])
+        for l in range(1, L):
+            done_all = done_all & jnp.all(dones[l])
+        return (r < MAX_PROBES) & ~done_all
+
+    slots0 = tuple(jnp.full((Q,), -1, jnp.int32) for Q in Qs)
+    dones0 = tuple(~v for v in valids)
+    claimeds0 = tuple(jnp.zeros((c,), jnp.bool_) for c in caps)
+    state = (jnp.int32(0), slots0, dones0, claimeds0)
+    for _ in range(UNROLL):
+        state = body(state)
+    _, slots, _, claimeds = jax.lax.while_loop(cond, body, state)
+
+    out = []
+    for l in range(L):
+        tk, oc = tables[l]
+        C = caps[l]
+        new = (slots[l] >= 0) & claimeds[l][jnp.maximum(slots[l], 0)]
+        tgt = jnp.where(new, slots[l], C)
+        tgt, upd = jax.lax.optimization_barrier((tgt, queries[l]))
+        out.append((tk.at[tgt].set(upd, mode="drop"),
+                    oc.at[tgt].set(True, mode="drop"), slots[l]))
+    return out
 
 
 def dedup_keys(keys: jnp.ndarray, valid: jnp.ndarray, unique_max: int):

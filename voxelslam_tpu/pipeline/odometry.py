@@ -166,6 +166,7 @@ class SlamPipeline:
         self.imu_buf_m = np.zeros((W, M), np.float32)
         self.degrade_cnt = 0
         self._last_p = None
+        self._pending = None
         self.session = session
         self.jour = 0.0
         self.init_done = False
@@ -629,7 +630,16 @@ class SlamPipeline:
 
     def _process_steady_fused(self, ts_j, gyr_j, acc_j, imask, t_beg,
                                t_end, last_end, pts_j, off_j, pmask):
-        """Steady phase: ONE fused device call per scan."""
+        """Steady phase: ONE fused device call per scan.
+
+        The packed stats vector of scan k is fetched only after scan
+        k+1 has been dispatched, so the device->host roundtrip (the
+        dominant per-scan cost on a tunneled chip) overlaps the next
+        scan's device execution instead of serializing with it. Pose
+        emission / divergence bookkeeping therefore lag one scan; the
+        degrade hysteresis (bound 10+) makes that immaterial, and
+        `_flush_pending` forces emission wherever exact state is
+        needed (flush, loop corrections)."""
         cfg = self.cfg
         W = cfg.lba.win_size
         mg = cfg.lba.mgsize
@@ -651,6 +661,31 @@ class SlamPipeline:
         self.mp = mp_new
         self.preints_dev = preints
         self.scan_count += 1
+
+        out = None
+        if self._pending is not None:
+            out = self._emit_pending()
+        if out is not None and out.get("phase") == "reset":
+            # divergence reset: the in-flight scan used the diverged
+            # trajectory/map — discard it with the session
+            return out
+        self._pending = (stats, down, dmask, tr, t_end)
+        if out is None:
+            out = {"phase": "odom", "pending": True, "t": t_end}
+        return out
+
+    def _flush_pending(self):
+        """Force emission of the deferred scan's stats (if any)."""
+        if getattr(self, "_pending", None) is not None:
+            return self._emit_pending()
+        return None
+
+    def _emit_pending(self):
+        cfg = self.cfg
+        W = cfg.lba.win_size
+        mg = cfg.lba.mgsize
+        stats, down, dmask, tr, t_end = self._pending
+        self._pending = None
 
         st = np.asarray(stats)  # ONE packed device->host fetch
         ok = bool(st[0] > 0)
@@ -722,6 +757,7 @@ class SlamPipeline:
 
         The emitted ScanPose history is assumed already updated by the
         loop pipeline (shared objects)."""
+        self._flush_pending()   # emit pre-correction state first
         cfg = self.cfg
         W = cfg.lba.win_size
         dR = jnp.array(dx_R, jnp.float32)
@@ -789,6 +825,7 @@ class SlamPipeline:
 
     def flush(self):
         """Emit remaining window states as ScanPoses (end of run)."""
+        self._flush_pending()
         for k in range(self.win_count):
             s = self.win[k]
             self.scan_poses.append(ScanPose(

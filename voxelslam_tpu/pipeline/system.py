@@ -137,6 +137,19 @@ class SlamSystem:
                 self.gba.top_down(self.loop)
         return self.odom.scan_poses
 
+
+    def save_checkpoint(self, path: str):
+        """Mid-run snapshot of ALL live state (odometry + loop + GBA);
+        the reference has no equivalent (SURVEY.md 5.4) — sessions only
+        persist at finish. Restore with `load_checkpoint` on a freshly
+        constructed system with the same config/flags."""
+        from ..utils import checkpoint as ckpt
+        ckpt.save_system(self, path)
+
+    def load_checkpoint(self, path: str):
+        from ..utils import checkpoint as ckpt
+        ckpt.load_system(self, path)
+
     def save(self, name: str | None = None):
         """Persist the live session + multi-session loop edges under
         `savepath` (reference save_pose + pgo_edges_io write,

@@ -1,3 +1,4 @@
 from . import metrics
+from . import checkpoint
 
 __all__ = ["metrics"]
