@@ -118,28 +118,32 @@ def lm_lidar(Rs, ps, factors: lf.FactorBatch, win_mask, max_iter: int = 3,
 # LiDAR-inertial LM over (W, 15) states [+ shared gravity]
 # ---------------------------------------------------------------------------
 
-def _imu_terms(states: NavState, preints: pre.Preint, imu_coef, with_gravity):
+def _imu_terms(states: NavState, preints: pre.Preint, imu_coef,
+               with_gravity, Winv=None):
     """Stacked IMU factor contributions. states: batched (W,); preints:
-    batched (W-1,). Returns (H, g, chi) in the (15W [+3]) layout."""
+    batched (W-1,). Returns (H, g, chi) in the (15W [+3]) layout.
+    Winv: optional (W-1, 15, 15) precomputed covariance inverses."""
     W = states.t.shape[0]
     n = W * DIM + (3 if with_gravity else 0)
 
     st1 = states[slice(0, W - 1)]
     st2 = states[slice(1, W)]
-    ev = jax.vmap(lambda p, a, b: pre.evaluate(p, a, b, with_gravity))
-    chi, jtj, gg = ev(preints, st1, st2)
+    if Winv is None:
+        Winv = jax.vmap(pre.cov_inv)(preints)
+    ev = jax.vmap(lambda p, a, b, w: pre.evaluate(p, a, b, with_gravity, w))
+    chi, jtj, gg = ev(preints, st1, st2, Winv)
 
+    # ONE batched scatter per tensor (a python loop of per-pair 30x30
+    # block adds is 18 tiny dynamic-update-slices — dispatch-bound)
     H = jnp.zeros((n, n))
     g = jnp.zeros((n,))
-    for i in range(W - 1):
-        s = i * DIM
-        H = H.at[s:s + 2 * DIM, s:s + 2 * DIM].add(jtj[i][:2 * DIM, :2 * DIM])
-        g = g.at[s:s + 2 * DIM].add(gg[i][:2 * DIM])
-        if with_gravity:
-            H = H.at[s:s + 2 * DIM, n - 3:].add(jtj[i][:2 * DIM, 2 * DIM:])
-            H = H.at[n - 3:, s:s + 2 * DIM].add(jtj[i][2 * DIM:, :2 * DIM])
-            H = H.at[n - 3:, n - 3:].add(jtj[i][2 * DIM:, 2 * DIM:])
-            g = g.at[n - 3:].add(gg[i][2 * DIM:])
+    rows = (jnp.arange(W - 1)[:, None] * DIM
+            + jnp.arange(2 * DIM)[None, :])                  # (W-1, 30)
+    if with_gravity:
+        grav = jnp.full((W - 1, 3), n - 3) + jnp.arange(3)[None, :]
+        rows = jnp.concatenate([rows, grav], axis=1)          # (W-1, 33)
+    H = H.at[rows[:, :, None], rows[:, None, :]].add(jtj)
+    g = g.at[rows].add(gg)
     return H * imu_coef, g * imu_coef, jnp.sum(chi) * imu_coef * 0.5
 
 
@@ -167,11 +171,12 @@ def _gravity_prior(g_vec, weight):
 
 
 def _li_eval(states: NavState, factors, preints, win_mask, imu_coef,
-             with_gravity, g_prior_w=0.0):
+             with_gravity, g_prior_w=0.0, Winv=None):
     """Full residual + Hessian/gradient in the 15W [+3] layout."""
     W = states.t.shape[0]
     n = W * DIM + (3 if with_gravity else 0)
-    H_imu, g_imu, r_imu = _imu_terms(states, preints, imu_coef, with_gravity)
+    H_imu, g_imu, r_imu = _imu_terms(states, preints, imu_coef,
+                                     with_gravity, Winv)
 
     Hl, gl = lf.hess_grad(factors, states.R, states.p, win_mask)
     rl = lf.cost(factors, states.R, states.p, win_mask)
@@ -188,11 +193,13 @@ def _li_eval(states: NavState, factors, preints, win_mask, imu_coef,
 
 
 def _li_residual(states, factors, preints, win_mask, imu_coef,
-                 g_prior_w=0.0):
+                 g_prior_w=0.0, Winv=None):
     W = states.t.shape[0]
     st1 = states[slice(0, W - 1)]
     st2 = states[slice(1, W)]
-    chi = jax.vmap(pre.chi2)(preints, st1, st2)
+    if Winv is None:
+        Winv = jax.vmap(pre.cov_inv)(preints)
+    chi = jax.vmap(pre.chi2)(preints, st1, st2, Winv)
     rl = lf.cost(factors, states.R, states.p, win_mask)
     r = jnp.sum(chi) * imu_coef * 0.5 + rl
     rg = jnp.linalg.norm(states.g[0]) - GRAVITY_NORM
@@ -208,8 +215,11 @@ def lm_li(states: NavState, factors: lf.FactorBatch, preints: pre.Preint,
     W = states.t.shape[0]
     n = W * DIM + (3 if with_gravity else 0)
 
+    # hoist the preintegration covariance inverses: fixed across the LM
+    # (bias reparameterization moves the residual, not the noise)
+    Winv = jax.vmap(pre.cov_inv)(preints)
     H0, g0, r0 = _li_eval(states, factors, preints, win_mask, imu_coef,
-                          with_gravity, g_prior_w)
+                          with_gravity, g_prior_w, Winv)
 
     def body(c):
         it, u, v, states, H, g, r1, conv = c
@@ -219,7 +229,7 @@ def lm_li(states: NavState, factors: lf.FactorBatch, preints: pre.Preint,
         st_n = _apply_dx(states, dx, with_gravity)
         q1 = 0.5 * jnp.dot(dx, u * (D @ dx) - gf)
         r2 = _li_residual(st_n, factors, preints, win_mask, imu_coef,
-                          g_prior_w)
+                          g_prior_w, Winv)
         q = r1 - r2
         accept = q > 0
         rho = q / jnp.maximum(q1, 1e-20)
@@ -228,7 +238,7 @@ def lm_li(states: NavState, factors: lf.FactorBatch, preints: pre.Preint,
         states = jax.tree.map(
             lambda a, b: jnp.where(accept, a, b), st_n, states)
         H_n, g_n, _ = _li_eval(states, factors, preints, win_mask, imu_coef,
-                               with_gravity, g_prior_w)
+                               with_gravity, g_prior_w, Winv)
         H = jnp.where(accept, H_n, H)
         g = jnp.where(accept, g_n, g)
         r1_n = jnp.where(accept, r2, r1)

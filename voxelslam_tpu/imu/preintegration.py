@@ -183,12 +183,15 @@ def _perturbed_residual(dx1, dx2, dg, pre, st1, st2):
     return residual(pre, st1p, st2p)
 
 
-def evaluate(pre: Preint, st1: NavState, st2: NavState, with_gravity: bool = False):
+def evaluate(pre: Preint, st1: NavState, st2: NavState,
+             with_gravity: bool = False, Winv: jnp.ndarray | None = None):
     """Residual, chi2 and Gauss-Newton pieces for one IMU factor.
 
     Returns (chi2, JtWJ, JtWr) where the state layout is
     [dx1 (15), dx2 (15)] (+ [dg (3)] when with_gravity, matching the
-    reference give_evaluate_g, preintegration.hpp:214-294).
+    reference give_evaluate_g, preintegration.hpp:214-294). Winv
+    optionally carries the precomputed covariance inverse (see
+    cov_inv).
     """
     z15 = jnp.zeros((DIM,), pre.p_delta.dtype)
     z3 = jnp.zeros((3,), pre.p_delta.dtype)
@@ -199,13 +202,22 @@ def evaluate(pre: Preint, st1: NavState, st2: NavState, with_gravity: bool = Fal
         J = jnp.concatenate([J1, J2, Jg], axis=1)   # (15, 33)
     else:
         J = jnp.concatenate([J1, J2], axis=1)        # (15, 30)
-    # robust inverse of the preintegration covariance
-    W = jnp.linalg.inv(pre.cov + jnp.eye(DIM, dtype=pre.cov.dtype) * 1e-12)
+    W = cov_inv(pre) if Winv is None else Winv
     JtW = J.T @ W
     return r @ W @ r, JtW @ J, JtW @ r
 
 
-def chi2(pre: Preint, st1: NavState, st2: NavState) -> jnp.ndarray:
+def cov_inv(pre: Preint) -> jnp.ndarray:
+    """Robust inverse of the preintegration covariance. The covariance
+    is FIXED across an LM solve (bias reparameterization moves the
+    residual, not the noise), so callers hoist this out of the
+    iteration loop — the batched 15x15 LU inversions were the dominant
+    cost of the windowed LI-BA as measured on TPU."""
+    return jnp.linalg.inv(pre.cov + jnp.eye(DIM, dtype=pre.cov.dtype) * 1e-12)
+
+
+def chi2(pre: Preint, st1: NavState, st2: NavState,
+         Winv: jnp.ndarray | None = None) -> jnp.ndarray:
     r = residual(pre, st1, st2)
-    W = jnp.linalg.inv(pre.cov + jnp.eye(DIM, dtype=pre.cov.dtype) * 1e-12)
+    W = cov_inv(pre) if Winv is None else Winv
     return r @ W @ r
