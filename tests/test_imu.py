@@ -101,6 +101,30 @@ class TestPreintegration:
             np.testing.assert_allclose(fd_r, np.asarray(p0.R_bg)[:, k],
                                        atol=2e-2, rtol=0.05)
 
+    def test_integrate_matches_sequential(self):
+        """Log-depth associative integrate must reproduce the
+        sequential scan, including masked padding samples."""
+        rng = np.random.default_rng(2)
+        N = 23
+        gyr = jnp.array(rng.normal(0, 0.4, (N, 3)), jnp.float32)
+        acc = jnp.array(rng.normal(0, 1.0, (N, 3)) + np.array([0, 0, 9.8]),
+                        jnp.float32)
+        dt = jnp.array(np.full(N, 0.005) + rng.random(N) * 0.002, jnp.float32)
+        mask = jnp.array(np.concatenate([np.ones(18), np.zeros(5)]),
+                         jnp.float32)
+        bg = jnp.array([0.01, -0.02, 0.005])
+        ba = jnp.array([0.1, -0.05, 0.02])
+        nm = jnp.eye(6) * 0.01
+        nw = jnp.eye(6) * 1e-4
+        a = jax.jit(pre.integrate_sequential)(gyr, acc, dt, mask, bg, ba,
+                                              nm, nw)
+        b = jax.jit(pre.integrate)(gyr, acc, dt, mask, bg, ba, nm, nw)
+        for f in pre.Preint.__dataclass_fields__:
+            va, vb = np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
+            scale = max(1.0, np.abs(va).max())
+            np.testing.assert_allclose(vb, va, atol=1e-5 * scale,
+                                       err_msg=f)
+
     def test_merge_equals_full(self):
         traj = sim.make_trajectory(duration=1.0)
         ts, gyr, acc = sim.imu_stream(traj, rate=200.0, t0=0.0, t1=0.6)
