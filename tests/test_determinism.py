@@ -1,0 +1,83 @@
+"""Determinism + map-depth genericity smoke tests.
+
+The reference's threaded insert/recut is timing-dependent; our batched
+scatter pipeline must be exactly deterministic: two pipelines fed the
+same scans produce identical trajectories. Also exercises a 2-level
+(ouster-style max_layer=1) map end-to-end — every other e2e test uses
+3 levels.
+"""
+
+import numpy as np
+import pytest
+
+from voxelslam_tpu.config import SlamConfig, MapConfig, OdometryConfig, \
+    LocalBAConfig
+from voxelslam_tpu.pipeline import SlamPipeline
+from voxelslam_tpu.io import simulator as sim
+
+
+def _packets(n_scans):
+    traj = sim.make_trajectory(duration=0.2 + 0.1 * (n_scans + 2),
+                               speed=1.2, wobble=0.25, yaw_rate=0.3,
+                               ramp=1.2)
+    normals, dsp = sim.box_room(half_extent=(14.0, 12.0, 3.5),
+                                center=(4.0, 0.0, 1.0))
+    out = []
+    t = 0.1
+    for k in range(n_scans):
+        scan = sim.lidar_scan(traj, t, t + 0.1, normals, dsp,
+                              n_az=96, n_el=16, noise=0.01, seed=k)
+        hit = scan["hit"]
+        ts = np.arange(t - 0.01, t + 0.1 + 1e-6, 1.0 / 200.0)
+        gyr = np.empty((len(ts), 3))
+        acc = np.empty((len(ts), 3))
+        for i, ti in enumerate(ts):
+            gyr[i], acc[i] = traj.imu_at(ti)
+        out.append((scan["points"][hit], scan["offsets"][hit], ts, gyr,
+                    acc, t, t + 0.1))
+        t += 0.1
+    return traj, out
+
+
+def _cfg(max_layer=2):
+    if max_layer == 1:
+        mc = MapConfig(max_layer=1, capacities=(1 << 11, 1 << 12),
+                       unique_max=(1024, 2048), plane_thr=(0.25, 0.25),
+                       min_point=(5, 5))
+    else:
+        mc = MapConfig(capacities=(1 << 11, 1 << 12, 1 << 12),
+                       unique_max=(1024, 1024, 2048))
+    return SlamConfig(map=mc,
+                      odom=OdometryConfig(point_max=1024, imu_max=64),
+                      lba=LocalBAConfig(factor_max=256))
+
+
+@pytest.mark.slow
+def test_two_runs_identical():
+    _, pkts = _packets(16)
+    traj_ps = []
+    for _ in range(2):
+        pipe = SlamPipeline(_cfg(), collect_clouds=False)
+        ps = []
+        for p in pkts:
+            pipe.process_scan(*p)
+            ps.append(np.asarray(pipe.x.p).copy())
+        pipe.flush()
+        traj_ps.append(np.stack(ps))
+    np.testing.assert_array_equal(traj_ps[0], traj_ps[1])
+
+
+@pytest.mark.slow
+def test_two_level_map_e2e():
+    traj, pkts = _packets(20)
+    pipe = SlamPipeline(_cfg(max_layer=1), collect_clouds=False)
+    errs = []
+    t = 0.1
+    for p in pkts:
+        pipe.process_scan(*p)
+        if pipe.init_done:
+            R_t, p_t, v_t = traj.state_at(p[6])
+            errs.append(np.linalg.norm(np.asarray(pipe.x.p) - p_t))
+    assert pipe.init_done
+    errs = np.array(errs)
+    assert np.sqrt((errs ** 2).mean()) < 0.25, errs
