@@ -242,6 +242,23 @@ def preset(name: str) -> SlamConfig:
     return _PRESETS[name]
 
 
+def override(cfg: SlamConfig, overrides: dict) -> SlamConfig:
+    """Apply a nested dict of overrides onto a config tree — the CLI's
+    equivalent of the reference's per-run YAML files (its launch files
+    load config/*.yaml over the rosparam defaults). Nested dicts recurse
+    into sub-dataclasses; tuple-typed fields accept lists."""
+    kw = {}
+    for key, val in overrides.items():
+        cur = getattr(cfg, key)  # raises on unknown key: fail loudly
+        if dataclasses.is_dataclass(cur) and isinstance(val, dict):
+            kw[key] = override(cur, val)
+        elif isinstance(cur, tuple) and isinstance(val, (list, tuple)):
+            kw[key] = tuple(val)
+        else:
+            kw[key] = val
+    return dataclasses.replace(cfg, **kw)
+
+
 def small_test_config() -> SlamConfig:
     """Tiny capacities for CPU unit tests."""
     return SlamConfig(

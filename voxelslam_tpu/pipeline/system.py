@@ -55,7 +55,7 @@ class SlamSystem:
                                            previous_maps)
                 self.session_names.extend(previous_maps)
             self.loop.new_session()
-            self.session_names.append(f"live{len(self.session_names)}")
+        self.session_names.append(f"live{len(self.session_names)}")
         self.gba = None
         if enable_gba and enable_loop:
             from ..gba.hba import HbaRunner
