@@ -81,3 +81,79 @@ def test_native_blind_and_decimation():
     ref = decoders.decode(arr, "livox", blind=5.0, point_filter_num=3,
                           use_native=False)
     assert len(out["points"]) == len(ref["points"])
+
+
+# ---------------------------------------------------------------------------
+# prefetching dataset loader (native/loader.cpp)
+# ---------------------------------------------------------------------------
+
+def _write_dataset(tmpdir, structured: bool, n_scans=5, n_pts=3000):
+    rng = np.random.default_rng(7)
+    rows = []
+    t = 10.0
+    for k in range(n_scans):
+        if structured:
+            dt = np.dtype([("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+                           ("intensity", "<f4"), ("offset_time", "<u4")])
+            arr = np.zeros(n_pts, dt)
+            arr["x"], arr["y"], arr["z"] = rng.uniform(-30, 30, (3, n_pts))
+            arr["intensity"] = rng.uniform(0, 255, n_pts)
+            arr["offset_time"] = (rng.uniform(0, 0.1, n_pts) * 1e9).astype(
+                np.uint32)
+        else:
+            arr = np.zeros((n_pts, 4), np.float32)
+            arr[:, :3] = rng.uniform(-30, 30, (n_pts, 3))
+            arr[:, 3] = rng.uniform(0, 0.1, n_pts)
+        fname = f"scan_{k:04d}.npy"
+        np.save(str(tmpdir / fname), arr)
+        rows.append((t, t + 0.1, fname))
+        t += 0.1
+    return rows
+
+
+@pytest.mark.parametrize("structured", [True, False])
+def test_scan_loader_matches_python_path(tmp_path, structured):
+    """The C++ prefetch loader must produce the same decoded scans as
+    cli._load_scan_file (points and offsets, time-sorted)."""
+    from voxelslam_tpu.cli import _load_scan_file
+
+    rows = _write_dataset(tmp_path, structured)
+    loader = native.ScanLoader(
+        [(tb, te, str(tmp_path / fn)) for tb, te, fn in rows],
+        "livox", blind=1.0, point_filter_num=2)
+    assert len(loader) == len(rows)
+    for (tb, te, fn), scan in zip(rows, loader):
+        ref = _load_scan_file(str(tmp_path / fn), "livox", blind=1.0,
+                              point_filter_num=2)
+        assert scan["t_beg"] == pytest.approx(tb)
+        assert scan["t_end"] == pytest.approx(te)
+        assert len(scan["points"]) == len(ref["points"])
+        np.testing.assert_allclose(np.sort(scan["points"], axis=0),
+                                   np.sort(ref["points"], axis=0),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.sort(scan["offsets"]),
+                                   np.sort(ref["offsets"]), atol=1e-6)
+        assert np.all(np.diff(scan["offsets"]) >= 0)
+    loader.close()
+
+
+def test_iter_dataset_native_and_python_agree(tmp_path):
+    """End-to-end: iter_dataset packets identical through both loaders."""
+    from voxelslam_tpu import cli
+
+    rows = _write_dataset(tmp_path, structured=True, n_scans=4)
+    with open(tmp_path / "scans.txt", "w") as f:
+        for tb, te, fn in rows:
+            f.write(f"{tb} {te} {fn}\n")
+    ts = np.arange(9.9, 10.0 + 0.1 * len(rows) + 0.05, 1.0 / 200.0)
+    rng = np.random.default_rng(8)
+    imu = np.column_stack([ts, rng.normal(0, 0.1, (len(ts), 6))])
+    np.savetxt(tmp_path / "imu.txt", imu)
+
+    nat = list(cli.iter_dataset(str(tmp_path), "livox", use_native=True))
+    ref = list(cli.iter_dataset(str(tmp_path), "livox", use_native=False))
+    assert len(nat) == len(ref) > 0
+    for a, b in zip(nat, ref):
+        np.testing.assert_allclose(a["scan"]["points"], b["scan"]["points"],
+                                   atol=1e-5)
+        np.testing.assert_allclose(a["imu_ts"], b["imu_ts"])

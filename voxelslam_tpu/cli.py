@@ -60,10 +60,14 @@ def _load_scan_file(path: str, lidar_type: str, blind: float,
 
 
 def iter_dataset(dirpath: str, lidar_type: str, blind: float = 0.5,
-                 point_filter_num: int = 1):
+                 point_filter_num: int = 1, use_native: bool = True):
     """Yield synchronized packets (scan + covering IMU samples) from a
     dataset directory, pairing with the reference's sync_packages
-    semantics (voxelslam.hpp:112-177)."""
+    semantics (voxelslam.hpp:112-177).
+
+    When the native loader supports the sensor type, scan files are
+    read/decoded ahead by a C++ prefetch thread (native.ScanLoader) so
+    host IO overlaps device compute; otherwise files load inline."""
     from .io.decoders import sync_packages
     imu = np.loadtxt(os.path.join(dirpath, "imu.txt"), ndmin=2)
     imu_queue = [(row[0], row[1:4].copy(), row[4:7].copy()) for row in imu]
@@ -77,11 +81,26 @@ def iter_dataset(dirpath: str, lidar_type: str, blind: float = 0.5,
                                   parts[2]))
     scan_rows.sort()
 
+    scans = None
+    if use_native:
+        try:
+            from . import native
+            scans = native.ScanLoader(
+                [(tb, te, os.path.join(dirpath, fn))
+                 for tb, te, fn in scan_rows],
+                lidar_type, blind=blind,
+                point_filter_num=point_filter_num)
+        except RuntimeError:
+            scans = None
+    if scans is None:
+        scans = (dict(_load_scan_file(os.path.join(dirpath, fname),
+                                      lidar_type, blind, point_filter_num),
+                      t_beg=t_beg, t_end=t_end)
+                 for t_beg, t_end, fname in scan_rows)
+
     scan_queue = []
-    for t_beg, t_end, fname in scan_rows:
-        scan = _load_scan_file(os.path.join(dirpath, fname), lidar_type,
-                               blind, point_filter_num)
-        scan_queue.append(dict(scan, t_beg=t_beg, t_end=t_end))
+    for scan in scans:
+        scan_queue.append(scan)
         while True:
             pkt = sync_packages(scan_queue, imu_queue)
             if pkt is None:

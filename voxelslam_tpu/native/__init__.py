@@ -18,6 +18,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "ingest.cpp")
+_SRC_LOADER = os.path.join(_HERE, "loader.cpp")
 _SO = os.path.join(_HERE, "libvsingest.so")
 _lock = threading.Lock()
 _lib = None
@@ -30,7 +31,7 @@ _TYPE_CODES = {"f4": 0, "f8": 1, "u4": 2, "i4": 3, "u2": 4, "u1": 5,
 
 def _build() -> bool:
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-std=c++17", _SRC, "-o", _SO]
+           "-std=c++17", _SRC, _SRC_LOADER, "-o", _SO, "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -46,8 +47,8 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or (os.path.getmtime(_SO)
-                                       < os.path.getmtime(_SRC)):
+        src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_LOADER))
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < src_mtime:
             if not _build():
                 return None
         try:
@@ -71,6 +72,22 @@ def get_lib():
         lib.vs_voxel_downsample.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_double,
             ctypes.c_int64, ctypes.c_void_p]
+        try:
+            lib.vs_loader_open.restype = ctypes.c_void_p
+            lib.vs_loader_open.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double,
+                ctypes.c_int, ctypes.c_double, ctypes.c_int64,
+                ctypes.c_double, ctypes.c_int64]
+            lib.vs_loader_count.restype = ctypes.c_int64
+            lib.vs_loader_count.argtypes = [ctypes.c_void_p]
+            lib.vs_loader_next.restype = ctypes.c_int64
+            lib.vs_loader_next.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+            lib.vs_loader_close.restype = None
+            lib.vs_loader_close.argtypes = [ctypes.c_void_p]
+        except AttributeError:  # stale .so without the loader
+            pass
         _lib = lib
         return _lib
 
@@ -146,3 +163,89 @@ def voxel_downsample_host(xyz: np.ndarray, voxel: float,
     m = lib.vs_voxel_downsample(pts.ctypes.data, len(pts), float(voxel),
                                 min(cap, len(pts)), out.ctypes.data)
     return out[:m].copy()
+
+
+# per-sensor decode plans for the prefetching loader (same rules as the
+# decoders' native fast path; types needing unit auto-detection or the
+# yaw-time fallback use the Python path instead)
+LOADER_PLANS = {
+    "livox": dict(time_fields="offset_time", t_scale=1e-9, t_absolute=False),
+    "ouster": dict(time_fields="t", t_scale=1e-9, t_absolute=False),
+    "hesai": dict(time_fields="timestamp", t_scale=1.0, t_absolute=True),
+    "robosense": dict(time_fields="timestamp", t_scale=1.0, t_absolute=True),
+    "tartanair": dict(time_fields="", t_scale=1.0, t_absolute=False),
+}
+
+
+class ScanLoader:
+    """Prefetching dataset scan reader backed by the C++ producer thread
+    (loader.cpp): .npy scan files are read, decoded, filtered, and
+    time-sorted ahead of consumption, overlapping host IO with device
+    compute — the recorded-dataset equivalent of the reference's ROS
+    subscriber threads feeding `sync_packages` (voxelslam.hpp:52-177).
+
+    rows: [(t_beg, t_end, abs_path)]; point_cap bounds the copy-out
+    buffers. Iterate to get dicts(points, offsets, t_beg, t_end).
+    Decode-failed files raise (matching the strict Python path).
+    """
+
+    def __init__(self, rows, lidar_type: str, blind: float = 0.5,
+                 point_filter_num: int = 1, max_offset: float = 0.11,
+                 prefetch: int = 4, point_cap: int = 1 << 20):
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "vs_loader_open"):
+            raise RuntimeError("native loader unavailable")
+        plan = LOADER_PLANS.get(lidar_type.lower())
+        if plan is None:
+            raise RuntimeError(f"no native plan for {lidar_type}")
+        self._lib = lib
+        index = "\n".join(f"{tb:.17g} {te:.17g} {path}"
+                          for tb, te, path in rows)
+        self._h = lib.vs_loader_open(
+            index.encode(), plan["time_fields"].encode(),
+            float(plan["t_scale"]), int(plan["t_absolute"]), float(blind),
+            int(point_filter_num), float(max_offset), int(prefetch))
+        if not self._h:
+            raise RuntimeError("vs_loader_open failed")
+        self._cap = point_cap
+        self._xyz = np.empty((point_cap, 3), np.float32)
+        self._off = np.empty((point_cap,), np.float32)
+
+    def __len__(self):
+        return int(self._lib.vs_loader_count(self._h))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        import ctypes as ct
+        tb = ct.c_double()
+        te = ct.c_double()
+        m = self._lib.vs_loader_next(
+            self._h, self._xyz.ctypes.data, self._off.ctypes.data,
+            self._cap, ct.byref(tb), ct.byref(te))
+        if m == -1:
+            raise StopIteration
+        if m == -2:
+            raise IOError(f"native loader: decode failed for scan at "
+                          f"t=[{tb.value}, {te.value}]")
+        pts = self._xyz[:m].copy()
+        offs = self._off[:m].copy()
+        if m == 0:
+            # reference inserts dummy points for empty scans
+            # (voxelslam.hpp:82)
+            pts = np.zeros((2, 3), np.float32)
+            offs = np.zeros(2, np.float32)
+        return dict(points=pts, offsets=offs,
+                    t_beg=tb.value, t_end=te.value)
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.vs_loader_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
