@@ -104,6 +104,25 @@ class TestLidarFactor:
         np.testing.assert_allclose(np.asarray(H1), np.asarray(H0),
                                    atol=2e-3 * sH)
 
+    def test_closed_form_hess_matches_autodiff(self, rng):
+        """hess_grad_ct (fully closed-form assembly, the production
+        Newton builder) must equal hess_grad (jacfwd-of-grad) on mixed
+        factors including fixed clusters, masked frames, invalid rows."""
+        fb, Rs, ps = _make_factors(rng, W=4, F=9, n_per=25, noise=0.02)
+        fixpts = jnp.array(rng.normal(0, 2, (9, 12, 3)), jnp.float32)
+        fb = dataclasses.replace(
+            fb, fix=cl.from_points(fixpts),
+            valid=jnp.array(rng.random(9) > 0.3))
+        mask = jnp.ones(4).at[1].set(0.0)
+        H0, g0 = jax.jit(lf.hess_grad)(fb, Rs, ps, mask)
+        H1, g1 = jax.jit(lf.hess_grad_ct)(fb, Rs, ps, mask)
+        sH = float(jnp.max(jnp.abs(H0))) + 1e-6
+        sg = float(jnp.max(jnp.abs(g0))) + 1e-6
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   atol=2e-4 * sg)
+        np.testing.assert_allclose(np.asarray(H1), np.asarray(H0),
+                                   atol=2e-3 * sH)
+
 
 class TestLMLidar:
     def test_recovers_poses(self, rng):

@@ -116,6 +116,152 @@ def hess_grad(f: FactorBatch, Rs0, ps0, win_mask):
     return H, J
 
 
+def hess_grad_ct(f: FactorBatch, Rs0, ps0, win_mask):
+    """Exact (6W, 6W) Hessian + (6W,) gradient of the eigen cost via
+    fully CLOSED-FORM eigen-perturbation assembly (no autodiff at all —
+    the reference's hand-derived acc_evaluate2, voxel_map.hpp:150-282,
+    re-derived for the centered-cluster layout).
+
+    Identical math to `hess_grad_analytic`, but every moment Jacobian /
+    per-frame Hessian block that version obtains with jacfwd/jax.hessian
+    is written out in closed form, and every output-sized contraction is
+    arranged as a sum over the factor axis ("f...,f...->..." einsums =
+    (out, F)@(F, out) matmuls). Intermediates stay at (F, W, 3[,3]) —
+    the (F, W, 6, 3, 3) tangent batches that made the jacfwd versions
+    HBM-bound never exist.
+
+    Derivation sketch (right perturbation d=[w, t] of frame pose (R, p),
+    local cluster (n, mu, S), a = R^T u0, b_k = R^T u_k, mw = R mu + p):
+
+      d(R S R^T)[e_j]  = R (e_j^ S + S e_j^T) R^T
+        => u0^T (.) u_k = e_j . [ (S b_k) x a + (S a) x b_k ]
+      d(mw)[rot e_j] = R (e_j x mu)  =>  u0 . d(mw) = e_j . (mu x a)
+      d(mw)[tra e_j] = e_j
+      second order (y(w) = exp(-w^)a, s(d) = y.mu + u0.(p + t)):
+        y'_j = a^ e_j,  y''_jk mu = sym_jk(mu_k a_j) - (mu.a) d_jk
+        H(y^T S y) = 2[ a^T S^a^ ... ] -- assembled below as
+          2(-a^ S a^) + (Sa a^T + a Sa^T) - 2(a.Sa) I
+        H(n s^2) = 2n (s' s'^T + s s''),  s'_w = mu x a, s'_t = u0
+    """
+    W = Rs0.shape[0]
+    F = f.coeff.shape[0]
+    dtype = Rs0.dtype
+    m = win_mask.astype(dtype)
+
+    total = total_clusters(f, Rs0, ps0, win_mask)
+    N = jnp.maximum(total.n, 1.0)                       # (F,)
+    mu_t = total.mu                                     # (F, 3)
+    lam, U = eigh3(cl.cov(total))                       # (F,3), (F,3,3)
+    u0 = U[:, :, 0]                                     # (F, 3)
+    wgt = (f.coeff * f.valid * (total.n > 0)).astype(dtype)   # (F,)
+
+    n_l = f.win.n                                       # (F, W)
+    mu_l = f.win.mu                                     # (F, W, 3)
+    S_l = f.win.S                                       # (F, W, 3, 3)
+
+    # rotated eigenvectors b[f,w,i,k] = (R_w^T u_k)_i  (b[...,0] = a)
+    b = jnp.einsum("wji,fjk->fwik", Rs0, U)
+    a = b[..., 0]                                       # (F, W, 3)
+    Sb = jnp.einsum("fwil,fwlk->fwik", S_l, b)          # (F, W, 3, 3)
+    Sa = Sb[..., 0]
+
+    # mw . u_k  (world-frame mean dotted with each eigenvector)
+    mwk = (jnp.einsum("fwi,fwik->fwk", mu_l, b)
+           + jnp.einsum("wi,fik->fwk", ps0, U))         # (F, W, 3)
+    u0mw = mwk[..., 0]
+    u0mu = jnp.einsum("fi,fi->f", mu_t, u0)             # u0 . mu_t
+    bk = jnp.einsum("fi,fik->fk", mu_t, U)              # mu_t . u_k
+
+    # --- first-order projections Q[f,w,j,k] = u0^T dC[w,j] u_k --------
+    cxa = jnp.cross(mu_l, a)                            # mu x a  (F,W,3)
+    cxb = jnp.cross(mu_l[..., None, :],
+                    jnp.moveaxis(b, -1, -2))            # (F, W, 3[k], 3[j])
+    cxb = jnp.moveaxis(cxb, -1, -2)                     # (F, W, 3[j], 3[k])
+    rotS = (jnp.cross(jnp.moveaxis(Sb, -1, -2), a[..., None, :])
+            + jnp.cross(Sa[..., None, :], jnp.moveaxis(b, -1, -2)))
+    rotS = jnp.moveaxis(rotS, -2, -1)                   # (F, W, 3[j], 3[k])
+
+    nm = n_l * m[None, :]                               # (F, W)
+    invN = (1.0 / N)[:, None]                           # (F, 1)
+    # A = u0^T dP u_k / N : rotation rows then translation rows
+    A_rot = (m[None, :, None, None] * rotS
+             + nm[..., None, None] * (cxa[..., :, None] * mwk[..., None, :]
+                                      + u0mw[..., None, None] * cxb)
+             ) * invN[..., None, None]
+    A_tr = (nm[..., None, None]
+            * (u0[:, None, :, None] * mwk[..., None, :]
+               + u0mw[..., None, None] * U[:, None])
+            ) * invN[..., None, None]                   # (F, W, 3, 3)
+
+    # q[f,w,j] = u0 . dmu_t ; ck[f,w,j,k] = dmu_t . u_k
+    q_rot = nm[..., None] * cxa * invN[..., None]
+    q_tr = nm[..., None] * u0[:, None] * invN[..., None]
+    ck_rot = nm[..., None, None] * cxb * invN[..., None, None]
+    ck_tr = nm[..., None, None] * U[:, None] * invN[..., None, None]
+
+    q = jnp.concatenate([q_rot, q_tr], axis=2)          # (F, W, 6)
+    A6 = jnp.concatenate([A_rot, A_tr], axis=2)         # (F, W, 6, 3)
+    ck6 = jnp.concatenate([ck_rot, ck_tr], axis=2)
+    Q = (A6 - q[..., None] * bk[:, None, None, :]
+         - u0mu[:, None, None, None] * ck6)             # (F, W, 6, 3)
+
+    grad = jnp.einsum("f,fwj->wj", wgt, Q[..., 0]).reshape(-1)
+
+    # --- eigen cross term: 2 Qk diag(w/(lam0-lamk)) Qk^T --------------
+    gap = lam[:, 0:1] - lam[:, 1:3]                     # (F, 2) negative
+    inv_gap = jnp.where(jnp.abs(gap) > 1e-9, 1.0 / gap, 0.0)
+    Qk = Q[..., 1:3].reshape(F, W * 6, 2)
+    H = 2.0 * jnp.einsum("fak,fbk->ab",
+                         Qk * (wgt[:, None] * inv_gap)[:, None, :], Qk)
+
+    # --- global-mean rank-one term: -2 q q^T over ALL frame pairs -----
+    q60 = q.reshape(F, W * 6)
+    H = H - 2.0 * jnp.einsum("f,fa,fb->ab", wgt, q60, q60)
+
+    # --- within-frame 6x6 diagonal blocks (closed form) ---------------
+    alpha = wgt[:, None] / N[:, None] * m[None, :]      # (F, W)
+    aSa = jnp.einsum("fwi,fwi->fw", a, Sa)
+    mua = jnp.einsum("fwi,fwi->fw", mu_l, a)
+    hat_a = jnp.cross(
+        a[..., None, :],
+        jnp.broadcast_to(jnp.eye(3, dtype=dtype), a.shape[:-1] + (3, 3)),
+        axis=-1)                                        # hat(a)[f,w,i,j]
+    aSaH = jnp.einsum("fwij,fwjl,fwlk->fwik", hat_a, S_l, hat_a)
+
+    # coefficient bundles (all reduce over f with weight alpha)
+    s0 = u0mw                                           # s at d=0
+    coef_ss = 2.0 * nm * (s0 - u0mu[:, None])           # s'' scale
+    I3 = jnp.eye(3, dtype=dtype)
+
+    def red(c, x, y):
+        """sum_f alpha*c [f,w] * x[f,w,i] y[f,w,j] -> (W, 3, 3)."""
+        return jnp.einsum("fw,fwi,fwj->wij", alpha * c, x, y)
+
+    one = jnp.ones_like(aSa)
+    # H(term1) = -2 a^S a^ + (Sa a^T + a Sa^T) - 2(a.Sa) I
+    blk_ww = (-2.0 * jnp.einsum("fw,fwik->wik", alpha, aSaH)
+              + red(one, Sa, a) + red(one, a, Sa)
+              - 2.0 * jnp.einsum("fw,fw->w", alpha, aSa)[:, None, None] * I3
+              # 2 n s' s'^T  (omega-omega part)
+              + 2.0 * red(nm, cxa, cxa)
+              # (2 n s - 2 n u0mu) s''_ww ; s'' = sym(mu a^T) - (mu.a) I
+              + 0.5 * (red(coef_ss, mu_l, a) + red(coef_ss, a, mu_l))
+              - jnp.einsum("fw,fw->w", alpha * coef_ss, mua)[:, None, None]
+              * I3)
+    blk_wt = 2.0 * jnp.einsum("fw,fwi,fj->wij", alpha * nm, cxa, u0)
+    blk_tt = 2.0 * jnp.einsum("fw,fi,fj->wij", alpha * nm, u0, u0)
+
+    blk = jnp.concatenate([
+        jnp.concatenate([blk_ww, blk_wt], axis=-1),
+        jnp.concatenate([jnp.swapaxes(blk_wt, -1, -2), blk_tt], axis=-1),
+    ], axis=-2)                                         # (W, 6, 6)
+    wi = (jnp.arange(W)[:, None] * 6 + jnp.arange(6)[None, :])  # (W, 6)
+    H = H.at[wi[:, :, None], wi[:, None, :]].add(blk)
+
+    H = 0.5 * (H + H.T)
+    return H, grad
+
+
 def _frame_moments(Rw, pw, n, mu, S, m, d):
     """World-frame raw moments of ONE frame's cluster under a right
     pose perturbation d = [rot, trans]. Returns (P, mn) with

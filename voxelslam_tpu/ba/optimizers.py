@@ -17,8 +17,10 @@ u <- u*v, v <- 2v on reject; gauge fixed by pinning the first frame
 (zero rows/cols + identity block, voxel_map.hpp:452-455).
 
 The dense normal systems are tiny (60 / 150 / 153), so each LM iteration
-is one fused device computation; the Hessian is exact (jacfwd of grad
-through the eigen factor + preintegration factors).
+is one fused device computation; the Hessian is exact — the closed-form
+eigen-perturbation assembly `lidar_factor.hess_grad_ct` (the autodiff
+builders are kept as cross-checked references; measured in the fused
+scan step the closed form cuts harvest+LM from 18.8 to 10.7 ms).
 """
 
 from __future__ import annotations
@@ -71,7 +73,7 @@ def lm_lidar(Rs, ps, factors: lf.FactorBatch, win_mask, max_iter: int = 3,
     n6 = W * 6
 
     def full_eval(Rs, ps):
-        H, g = lf.hess_grad(factors, Rs, ps, win_mask)
+        H, g = lf.hess_grad_ct(factors, Rs, ps, win_mask)
         r = lf.cost(factors, Rs, ps, win_mask)
         return H, g, r
 
@@ -178,7 +180,7 @@ def _li_eval(states: NavState, factors, preints, win_mask, imu_coef,
     H_imu, g_imu, r_imu = _imu_terms(states, preints, imu_coef,
                                      with_gravity, Winv)
 
-    Hl, gl = lf.hess_grad(factors, states.R, states.p, win_mask)
+    Hl, gl = lf.hess_grad_ct(factors, states.R, states.p, win_mask)
     rl = lf.cost(factors, states.R, states.p, win_mask)
     idx = (jnp.arange(W)[:, None] * DIM + jnp.arange(6)[None, :]).reshape(-1)
     H = H_imu.at[idx[:, None], idx[None, :]].add(Hl)
