@@ -262,6 +262,188 @@ def hess_grad_ct(f: FactorBatch, Rs0, ps0, win_mask):
     return H, grad
 
 
+def transpose_factors(f: FactorBatch):
+    """FactorBatch (F, W, ...) -> factor-minor arrays for the _t kernels.
+
+    Returns (n_l (W,F), mu_l (W,3,F), S_l (W,3,3,F), fix_n (F,),
+    fix_mu (3,F), fix_S (3,3,F), wgt_base (F,)). One relayout copy per
+    array, hoisted out of the LM loop by the caller."""
+    n_l = f.win.n.T
+    mu_l = jnp.transpose(f.win.mu, (1, 2, 0))
+    S_l = jnp.transpose(f.win.S, (1, 2, 3, 0))
+    fix_mu = f.fix.mu.T
+    fix_S = jnp.transpose(f.fix.S, (1, 2, 0))
+    wgt_base = (f.coeff * f.valid).astype(f.win.mu.dtype)
+    return n_l, mu_l, S_l, f.fix.n, fix_mu, fix_S, wgt_base
+
+
+def _total_clusters_t(ft, Rs, ps, win_mask):
+    """total_clusters with factor-minor layouts. Returns
+    (n_t (F,), mu_t (3,F), S_t (3,3,F)). All intermediates keep the
+    factor axis LAST (TPU lanes) — the (F, W, 3, 3) layouts of the
+    F-major version tile-pad their trailing size-3 dims to 128 lanes and
+    relayout-copy to bf16 before every MXU contraction."""
+    n_l, mu_l, S_l, fix_n, fix_mu, fix_S, _ = ft
+    m = win_mask
+    n_w = n_l * m[:, None]                                   # (W, F)
+    # mu_w[w,i,f] = R[w,i,j] mu_l[w,j,f] + p[w,i]
+    mu_w = jnp.einsum("wij,wjf->wif", Rs, mu_l) + ps[:, :, None]
+    # S_w[w,i,l,f] = R S R^T
+    S_w = jnp.einsum("wij,wjkf,wlk->wilf", Rs, S_l, Rs)
+
+    n_t = fix_n + jnp.sum(n_w, axis=0)                       # (F,)
+    inv_n = 1.0 / jnp.maximum(n_t, 1.0)
+    mu_t = (fix_n[None] * fix_mu
+            + jnp.einsum("wf,wif->if", n_w, mu_w)) * inv_n[None]
+    d_w = mu_w - mu_t[None]                                  # (W, 3, F)
+    d_f = fix_mu - mu_t
+    S_t = (fix_S
+           + fix_n[None, None] * (d_f[:, None] * d_f[None])
+           + jnp.einsum("wilf,w->ilf", S_w, m)
+           + jnp.einsum("wf,wif,wjf->ijf", n_w, d_w, d_w))
+    empty = (n_t == 0)[None]
+    mu_t = jnp.where(empty, 0.0, mu_t)
+    S_t = jnp.where(empty[None], 0.0, S_t)
+    return n_t, mu_t, S_t
+
+
+def _eig_t(n_t, mu_t, S_t):
+    """Eigendecomposition of the covariances: (lam (F,3), U (3,3,F)).
+
+    The (F, 3, 3) transposes are tiny (F x 9 floats); eigh3's closed form
+    stays in its natural batch layout."""
+    inv_n = 1.0 / jnp.maximum(n_t, 1.0)
+    # centered convention: cov = S/n (S is already the scatter about mu)
+    cov = S_t * inv_n[None, None]
+    lam, U = eigh3(jnp.transpose(cov, (2, 0, 1)))
+    return lam, jnp.transpose(U, (1, 2, 0))
+
+
+def cost_t(ft, Rs, ps, win_mask):
+    """Eigen-factor residual sum via the factor-minor path."""
+    n_t, mu_t, S_t = _total_clusters_t(ft, Rs, ps, win_mask)
+    lam, _ = _eig_t(n_t, mu_t, S_t)
+    wgt = ft[6] * (n_t > 0)
+    return jnp.sum(wgt * lam[:, 0])
+
+
+def _cross_t(x, y, axis):
+    return jnp.cross(x, y, axisa=axis, axisb=axis, axisc=axis)
+
+
+def hess_grad_ct_t(ft, Rs0, ps0, win_mask):
+    """`hess_grad_ct` re-arranged with the factor axis LAST everywhere
+    (see transpose_factors). Identical math — verified to machine
+    precision against hess_grad_ct — but every (W, ..., F) intermediate
+    keeps F on the TPU lane dimension, and every output-sized reduction
+    is a (60, F)-by-(F, 60) MXU matmul. Returns (H (6W,6W), g (6W,)).
+    """
+    n_l, mu_l, S_l, fix_n, fix_mu, fix_S, wgt_base = ft
+    W = Rs0.shape[0]
+    F = n_l.shape[1]
+    dtype = Rs0.dtype
+    m = win_mask.astype(dtype)
+
+    n_t, mu_t, S_t = _total_clusters_t(ft, Rs0, ps0, win_mask)
+    N = jnp.maximum(n_t, 1.0)                           # (F,)
+    lam, U = _eig_t(n_t, mu_t, S_t)                     # (F,3), (3,3,F)
+    u0 = U[:, 0]                                        # (3, F)
+    wgt = wgt_base * (n_t > 0)                          # (F,)
+
+    # rotated eigenvectors b[w,i,k,f] = (R_w^T u_k)_i  (b[:, :, 0] = a)
+    b = jnp.einsum("wji,jkf->wikf", Rs0, U)             # (W, 3, 3, F)
+    a = b[:, :, 0]                                      # (W, 3, F)
+    Sb = jnp.einsum("wilf,wlkf->wikf", S_l, b)          # (W, 3, 3, F)
+    Sa = Sb[:, :, 0]
+
+    # mw . u_k  (world-frame mean dotted with each eigenvector)
+    mwk = (jnp.einsum("wif,wikf->wkf", mu_l, b)
+           + jnp.einsum("wi,ikf->wkf", ps0, U))         # (W, 3, F)
+    u0mw = mwk[:, 0]                                    # (W, F)
+    u0mu = jnp.einsum("if,if->f", mu_t, u0)             # (F,)
+    bk = jnp.einsum("if,ikf->kf", mu_t, U)              # (3, F)
+
+    # --- first-order projections Q[w,j,k,f] = u0^T dC[w,j] u_k --------
+    cxa = _cross_t(mu_l, a, 1)                          # mu x a  (W, 3, F)
+    cxb = _cross_t(mu_l[:, :, None], b, 1)              # (W, 3[j], 3[k], F)
+    rotS = (_cross_t(Sb, a[:, :, None], 1)
+            + _cross_t(Sa[:, :, None], b, 1))           # (W, 3[j], 3[k], F)
+
+    nm = n_l * m[:, None]                               # (W, F)
+    invN = (1.0 / N)[None]                              # (1, F)
+    A_rot = (m[:, None, None, None] * rotS
+             + nm[:, None, None] * (cxa[:, :, None] * mwk[:, None]
+                                    + u0mw[:, None, None] * cxb)
+             ) * invN[:, None, None]
+    A_tr = (nm[:, None, None]
+            * (u0[None, :, None] * mwk[:, None]
+               + u0mw[:, None, None] * U[None])
+            ) * invN[:, None, None]                     # (W, 3, 3, F)
+
+    q_rot = nm[:, None] * cxa * invN[:, None]           # (W, 3, F)
+    q_tr = nm[:, None] * u0[None] * invN[:, None]
+    ck_rot = nm[:, None, None] * cxb * invN[:, None, None]
+    ck_tr = nm[:, None, None] * U[None] * invN[:, None, None]
+
+    q = jnp.concatenate([q_rot, q_tr], axis=1)          # (W, 6, F)
+    A6 = jnp.concatenate([A_rot, A_tr], axis=1)         # (W, 6, 3, F)
+    ck6 = jnp.concatenate([ck_rot, ck_tr], axis=1)
+    Q = (A6 - q[:, :, None] * bk[None, None]
+         - u0mu[None, None, None] * ck6)                # (W, 6, 3, F)
+
+    grad = jnp.einsum("f,wjf->wj", wgt, Q[:, :, 0]).reshape(-1)
+
+    # --- eigen cross term: 2 Qk diag(w/(lam0-lamk)) Qk^T --------------
+    gap = lam[:, 0:1] - lam[:, 1:3]                     # (F, 2) negative
+    inv_gap = jnp.where(jnp.abs(gap) > 1e-9, 1.0 / gap, 0.0)
+    s2 = (wgt[:, None] * inv_gap).T                     # (2, F)
+    Qk = Q[:, :, 1:3].reshape(W * 6, 2, F)
+    A2 = (Qk * s2[None]).reshape(W * 6, 2 * F)
+    B2 = Qk.reshape(W * 6, 2 * F)
+    H = 2.0 * (A2 @ B2.T)
+
+    # --- global-mean rank-one term: -2 q q^T over ALL frame pairs -----
+    q60 = q.reshape(W * 6, F)
+    H = H - 2.0 * ((q60 * wgt[None]) @ q60.T)
+
+    # --- within-frame 6x6 diagonal blocks (closed form) ---------------
+    alpha = (wgt / N)[None] * m[:, None]                # (W, F)
+    aSa = jnp.einsum("wif,wif->wf", a, Sa)
+    mua = jnp.einsum("wif,wif->wf", mu_l, a)
+    # hat(a) S hat(a): left cross over rows, right cross over columns
+    hs = _cross_t(a[:, :, None], S_l, 1)                # (hat(a) S)[w,i,l,f]
+    aSaH = _cross_t(hs, jnp.broadcast_to(a[:, None], hs.shape), 2)
+
+    s0 = u0mw
+    coef_ss = 2.0 * nm * (s0 - u0mu[None])
+    I3 = jnp.eye(3, dtype=dtype)
+
+    def red(c, x, y):
+        """sum_f alpha*c [w,f] * x[w,i,f] y[w,j,f] -> (W, 3, 3)."""
+        return jnp.einsum("wf,wif,wjf->wij", alpha * c, x, y)
+
+    one = jnp.ones_like(aSa)
+    blk_ww = (-2.0 * jnp.einsum("wf,wikf->wik", alpha, aSaH)
+              + red(one, Sa, a) + red(one, a, Sa)
+              - 2.0 * jnp.einsum("wf,wf->w", alpha, aSa)[:, None, None] * I3
+              + 2.0 * red(nm, cxa, cxa)
+              + 0.5 * (red(coef_ss, mu_l, a) + red(coef_ss, a, mu_l))
+              - jnp.einsum("wf,wf->w", alpha * coef_ss, mua)[:, None, None]
+              * I3)
+    blk_wt = 2.0 * jnp.einsum("wf,wif,jf->wij", alpha * nm, cxa, u0)
+    blk_tt = 2.0 * jnp.einsum("wf,if,jf->wij", alpha * nm, u0, u0)
+
+    blk = jnp.concatenate([
+        jnp.concatenate([blk_ww, blk_wt], axis=-1),
+        jnp.concatenate([jnp.swapaxes(blk_wt, -1, -2), blk_tt], axis=-1),
+    ], axis=-2)                                         # (W, 6, 6)
+    wi = (jnp.arange(W)[:, None] * 6 + jnp.arange(6)[None, :])  # (W, 6)
+    H = H.at[wi[:, :, None], wi[:, None, :]].add(blk)
+
+    H = 0.5 * (H + H.T)
+    return H, grad
+
+
 def _frame_moments(Rw, pw, n, mu, S, m, d):
     """World-frame raw moments of ONE frame's cluster under a right
     pose perturbation d = [rot, trans]. Returns (P, mn) with

@@ -7,10 +7,20 @@ static-shape table that lives on device:
   * keys   (C, 3) int32 voxel coordinates
   * occ    (C,)   bool
 
-Lookups are fixed-round linear probing (gather-only). Inserts elect one
-winner per contested slot with a scatter-min, so a whole scan's worth of
-new voxels is inserted in MAX_PROBES batched rounds — no host round-trip,
-no data-dependent shapes. Slots are never deleted in place (eviction is a
+Probing is QUADRATIC (triangular offsets h0, h0+1, h0+3, h0+6, ... mod C,
+which visit distinct slots for power-of-two C): linear probing's primary
+clustering produced 15-long chains at 0.36 load in real maps; triangular
+offsets keep chains geometric. Chains are hard-capped at PROBES=8 —
+inserts past 8 collisions drop the key (graceful sparsification, rare
+below ~0.5 load; eviction keeps tables below that), which lets every
+probe loop run STRAIGHT-LINE (no `lax.while_loop`, no all-done reduction
+per round — measured ~0.3 ms of fixed overhead per while round on TPU).
+
+Insert elections use a single carried (C,) int32 `election` array with
+round-tagged scatter-min (tag = round * Q + query_idx): one winner per
+contested slot per round, earlier-round claims keep smaller tags so later
+rounds can never steal — per-round work is O(Q) gathers + one O(#active)
+scatter, never O(C). Slots are never deleted in place (eviction is a
 rebuild/compaction pass), so probe chains stay valid.
 """
 
@@ -19,14 +29,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-MAX_PROBES = 16
-# First rounds run unrolled (straight-line, fully fused); the
-# while-loop only mops up stragglers. On TPU each while-loop round
-# pays op-dispatch overhead that dwarfs the [Q]-sized body, and with a
-# healthy load factor almost every query resolves in <= 2 rounds, so
-# the loop usually executes zero iterations.
-UNROLL = 2
+# Hard cap on probe-chain length. Insert and lookup MUST agree on this
+# (a key stored at triangular offset r is only visible to lookups
+# scanning >= r+1 rounds).
+PROBES = 8
+# kept for callers/tests that referenced the old knob
+MAX_PROBES = PROBES
 EMPTY_KEY = jnp.iinfo(jnp.int32).min  # sentinel stored in keys[:, 0] when free
+_INIT_TAG = jnp.iinfo(jnp.int32).max
 
 
 def voxel_key(points: jnp.ndarray, voxel_size: float) -> jnp.ndarray:
@@ -52,6 +62,11 @@ def hash_key(keys: jnp.ndarray, capacity: int) -> jnp.ndarray:
     return (h % jnp.uint32(capacity)).astype(jnp.int32)
 
 
+def _cand(h0: jnp.ndarray, r: int, capacity: int) -> jnp.ndarray:
+    """Probe candidate for round r: triangular offset r(r+1)/2."""
+    return (h0 + (r * (r + 1)) // 2) % capacity
+
+
 def empty_table(capacity: int):
     keys = jnp.full((capacity, 3), EMPTY_KEY, jnp.int32)
     occ = jnp.zeros((capacity,), jnp.bool_)
@@ -62,86 +77,26 @@ def lookup(table_keys: jnp.ndarray, occ: jnp.ndarray,
            queries: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Find slots for query keys. queries: (Q, 3); valid: (Q,) bool.
 
-    Returns (Q,) int32 slot ids, -1 where absent/invalid. Probing stops
-    logically at the first empty slot (no deletions => chain intact).
-    """
+    Returns (Q,) int32 slot ids, -1 where absent/invalid. Straight-line:
+    checks all PROBES candidates (a stored key occupies exactly one slot
+    of its probe sequence, so "first hit" needs no early-exit logic, and
+    the unrolled gathers fuse into the surrounding graph)."""
     C = table_keys.shape[0]
     h0 = hash_key(queries, C)
-
-    def body(state):
-        r, slot, done = state
-        cand = (h0 + r) % C
-        k = table_keys[cand]
-        o = occ[cand]
-        hit = o & jnp.all(k == queries, axis=-1)
-        miss_empty = ~o
-        slot = jnp.where(~done & hit, cand, slot)
-        done = done | hit | miss_empty
-        return r + 1, slot, done
-
-    def cond(state):
-        r, slot, done = state
-        # early exit: almost every query resolves in round 1-2, so the
-        # data-dependent trip count beats unrolling MAX_PROBES rounds of
-        # table gathers ~8x on real scans
-        return (r < MAX_PROBES) & ~jnp.all(done)
-
     slot = jnp.full(queries.shape[:-1], -1, jnp.int32)
-    done = ~valid
-    state = (jnp.int32(0), slot, done)
-    for _ in range(UNROLL):
-        state = body(state)
-    _, slot, _ = jax.lax.while_loop(cond, body, state)
-    return slot
+    for r in range(PROBES):
+        cand = _cand(h0, r, C)
+        hit = occ[cand] & jnp.all(table_keys[cand] == queries, axis=-1)
+        slot = jnp.where((slot < 0) & hit, cand, slot)
+    return jnp.where(valid, slot, -1)
 
 
 def lookup_multi(tables, queries, valids):
-    """Probe SEVERAL tables in one fused loop.
-
-    tables: list of (table_keys, occ); queries/valids: matching lists of
-    (Q, 3)/(Q,) arrays. Returns a list of (Q,) slot arrays. Equivalent
-    to `lookup` per table in a single while-loop.
-
-    NOTE (measured on TPU, full scan step): fusing the map's 3
-    descent-gated per-level probes through this was SLOWER than three
-    separate loops (40.4 vs 38.9 ms/scan) — the descend mask empties at
-    deeper levels so per-level loops exit after fewer rounds than one
-    loop paying max-rounds across levels. Kept for callers whose
-    per-table query sets don't shrink.
-    """
-    L = len(tables)
-    caps = [tk.shape[0] for tk, _ in tables]
-    h0s = [hash_key(q, c) for (q, c) in zip(queries, caps)]
-
-    def body(state):
-        r, slots, dones = state
-        new_slots, new_dones = [], []
-        for l in range(L):
-            tk, oc = tables[l]
-            cand = (h0s[l] + r) % caps[l]
-            k = tk[cand]
-            o = oc[cand]
-            hit = o & jnp.all(k == queries[l], axis=-1)
-            slot = jnp.where(~dones[l] & hit, cand, slots[l])
-            done = dones[l] | hit | ~o
-            new_slots.append(slot)
-            new_dones.append(done)
-        return r + 1, tuple(new_slots), tuple(new_dones)
-
-    def cond(state):
-        r, slots, dones = state
-        done_all = jnp.all(dones[0])
-        for l in range(1, L):
-            done_all = done_all & jnp.all(dones[l])
-        return (r < MAX_PROBES) & ~done_all
-
-    slots0 = tuple(jnp.full(q.shape[:-1], -1, jnp.int32) for q in queries)
-    dones0 = tuple(~v for v in valids)
-    state = (jnp.int32(0), slots0, dones0)
-    for _ in range(UNROLL):
-        state = body(state)
-    _, slots, _ = jax.lax.while_loop(cond, body, state)
-    return list(slots)
+    """Probe SEVERAL tables; straight-line per table (kept for callers
+    that batch probes; with unrolled probing there is no shared loop to
+    fuse, so this is just the per-table loop)."""
+    return [lookup(tk, oc, q, v)
+            for (tk, oc), q, v in zip(tables, queries, valids)]
 
 
 def insert(table_keys: jnp.ndarray, occ: jnp.ndarray,
@@ -150,64 +105,53 @@ def insert(table_keys: jnp.ndarray, occ: jnp.ndarray,
 
     queries must not contain duplicate keys among valid rows — dedup is
     the caller's job (scan-level dedup in the voxel map). Keys already in
-    the table resolve to their existing slot. Rows that exhaust
-    MAX_PROBES (table overfull) return slot -1 and are dropped by the
-    caller; keep load factor < ~0.5.
+    the table resolve to their existing slot. Rows whose probe chain
+    exhausts PROBES (or lose every election) return slot -1 and are
+    dropped by the caller; keep load factor < ~0.5.
 
     Because the queries are deduplicated, no query can ever hit a key
     written by ANOTHER query of this same insert — so all key/occ writes
-    are deferred to ONE scatter after the probe loop. The loop carries
-    only a (C,) `claimed` bitmap (slots won this insert probe past it
-    like occupied ones), never the key table itself: the per-round
-    (C, 3) table rewrite was the dominant cost of the old formulation.
+    are deferred to ONE scatter after the unrolled probe rounds. Claim
+    state lives in one carried (C,) `election` array: round r writes tag
+    r*Q + qidx with scatter-min; earlier rounds' tags are smaller, so a
+    claim can never be stolen by a later round, and per-round work stays
+    O(Q) (the old per-round `claimed` bitmap + fresh election array cost
+    O(C) per round — the dominant term of the old insert at C=64k).
     """
     C = table_keys.shape[0]
     Q = queries.shape[0]
     h0 = hash_key(queries, C)
     qidx = jnp.arange(Q, dtype=jnp.int32)
 
-    def body(state):
-        r, slot, done, claimed = state
-        cand = (h0 + r) % C
+    slot = jnp.full((Q,), -1, jnp.int32)
+    done = ~valid
+    election = jnp.full((C,), _INIT_TAG, jnp.int32)
+
+    for r in range(PROBES):
+        cand = _cand(h0, r, C)
         k = table_keys[cand]
         o = occ[cand]
         hit = o & jnp.all(k == queries, axis=-1) & ~done
         slot = jnp.where(hit, cand, slot)
         done = done | hit
 
-        # claim empty slots: elect one winner per contested free slot.
+        # claim free, unclaimed slots: tagged scatter-min election.
         # barrier: election indices and updates share the `want`
         # producer chain — fusing it into two operands of one scatter
         # trips the XLA:TPU fusion assertion (scatter_emitter.cc)
-        want = ~done & ~o & ~claimed[cand]
+        tag = r * Q + qidx
+        want = ~done & ~o & (election[cand] == _INIT_TAG)
         e_idx, e_upd = jax.lax.optimization_barrier(
-            (jnp.where(want, cand, C - 1), jnp.where(want, qidx, Q)))
-        election = jnp.full((C,), Q, jnp.int32).at[e_idx].min(
-            e_upd, mode="drop")
-        won = want & (election[cand] == qidx)
-        claimed = claimed.at[jnp.where(won, cand, C)].set(True, mode="drop")
+            (jnp.where(want, cand, C), jnp.where(want, tag, _INIT_TAG)))
+        election = election.at[e_idx].min(e_upd, mode="drop")
+        won = want & (election[cand] == tag)
         slot = jnp.where(won, cand, slot)
         done = done | won
-        return r + 1, slot, done, claimed
-
-    def cond(state):
-        r, slot, done, claimed = state
-        # early exit: almost every query resolves in round 1-2
-        return (r < MAX_PROBES) & ~jnp.all(done)
-
-    slot0 = jnp.full((Q,), -1, jnp.int32)
-    done0 = ~valid
-    claimed0 = jnp.zeros((C,), jnp.bool_)
-    state = (jnp.int32(0), slot0, done0, claimed0)
-    for _ in range(UNROLL):
-        state = body(state)
-    _, slot, _, claimed = jax.lax.while_loop(cond, body, state)
 
     # single deferred write of all newly claimed slots. The barrier keeps
     # the shared (slot, queries) producer chain from being fused into two
-    # operands of one scatter — that trips an XLA:TPU fusion-pass
-    # assertion (scatter_emitter.cc ShouldFuseInputIntoScatter).
-    new = (slot >= 0) & claimed[jnp.maximum(slot, 0)]
+    # operands of one scatter (XLA:TPU scatter_emitter.cc assertion).
+    new = (slot >= 0) & ~occ[jnp.maximum(slot, 0)]
     tgt = jnp.where(new, slot, C)
     tgt, upd = jax.lax.optimization_barrier((tgt, queries))
     table_keys = table_keys.at[tgt].set(upd, mode="drop")
@@ -216,69 +160,10 @@ def insert(table_keys: jnp.ndarray, occ: jnp.ndarray,
 
 
 def insert_multi(tables, queries, valids):
-    """`insert` over SEVERAL tables with one fused probe loop. queries
-    must be per-table deduplicated. Returns a list of
-    (table_keys, occ, slots) triples. Same measured caveat as
-    `lookup_multi`: the map's per-level inserts are faster as separate
-    loops (43.1 ms/scan fused vs 38.9 separate, full scan step)."""
-    L = len(tables)
-    caps = [tk.shape[0] for tk, _ in tables]
-    Qs = [q.shape[0] for q in queries]
-    h0s = [hash_key(q, c) for (q, c) in zip(queries, caps)]
-    qidxs = [jnp.arange(Q, dtype=jnp.int32) for Q in Qs]
-
-    def body(state):
-        r, slots, dones, claimeds = state
-        n_slots, n_dones, n_claimeds = [], [], []
-        for l in range(L):
-            tk, oc = tables[l]
-            C, Q = caps[l], Qs[l]
-            cand = (h0s[l] + r) % C
-            k = tk[cand]
-            o = oc[cand]
-            hit = o & jnp.all(k == queries[l], axis=-1) & ~dones[l]
-            slot = jnp.where(hit, cand, slots[l])
-            done = dones[l] | hit
-            want = ~done & ~o & ~claimeds[l][cand]
-            e_idx, e_upd = jax.lax.optimization_barrier(
-                (jnp.where(want, cand, C - 1), jnp.where(want, qidxs[l], Q)))
-            election = jnp.full((C,), Q, jnp.int32).at[e_idx].min(
-                e_upd, mode="drop")
-            won = want & (election[cand] == qidxs[l])
-            claimed = claimeds[l].at[jnp.where(won, cand, C)].set(
-                True, mode="drop")
-            slot = jnp.where(won, cand, slot)
-            done = done | won
-            n_slots.append(slot)
-            n_dones.append(done)
-            n_claimeds.append(claimed)
-        return r + 1, tuple(n_slots), tuple(n_dones), tuple(n_claimeds)
-
-    def cond(state):
-        r, slots, dones, claimeds = state
-        done_all = jnp.all(dones[0])
-        for l in range(1, L):
-            done_all = done_all & jnp.all(dones[l])
-        return (r < MAX_PROBES) & ~done_all
-
-    slots0 = tuple(jnp.full((Q,), -1, jnp.int32) for Q in Qs)
-    dones0 = tuple(~v for v in valids)
-    claimeds0 = tuple(jnp.zeros((c,), jnp.bool_) for c in caps)
-    state = (jnp.int32(0), slots0, dones0, claimeds0)
-    for _ in range(UNROLL):
-        state = body(state)
-    _, slots, _, claimeds = jax.lax.while_loop(cond, body, state)
-
-    out = []
-    for l in range(L):
-        tk, oc = tables[l]
-        C = caps[l]
-        new = (slots[l] >= 0) & claimeds[l][jnp.maximum(slots[l], 0)]
-        tgt = jnp.where(new, slots[l], C)
-        tgt, upd = jax.lax.optimization_barrier((tgt, queries[l]))
-        out.append((tk.at[tgt].set(upd, mode="drop"),
-                    oc.at[tgt].set(True, mode="drop"), slots[l]))
-    return out
+    """`insert` over SEVERAL tables. queries must be per-table
+    deduplicated. Returns a list of (table_keys, occ, slots) triples."""
+    return [insert(tk, oc, q, v)
+            for (tk, oc), q, v in zip(tables, queries, valids)]
 
 
 def dedup_keys(keys: jnp.ndarray, valid: jnp.ndarray, unique_max: int):
