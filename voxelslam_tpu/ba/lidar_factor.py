@@ -255,8 +255,10 @@ def hess_grad_ct(f: FactorBatch, Rs0, ps0, win_mask):
         jnp.concatenate([blk_ww, blk_wt], axis=-1),
         jnp.concatenate([jnp.swapaxes(blk_wt, -1, -2), blk_tt], axis=-1),
     ], axis=-2)                                         # (W, 6, 6)
-    wi = (jnp.arange(W)[:, None] * 6 + jnp.arange(6)[None, :])  # (W, 6)
-    H = H.at[wi[:, :, None], wi[:, None, :]].add(blk)
+    # scatter-free block-diagonal add (2D-index element scatters run
+    # serially on TPU): eye-masked broadcast + reshape stays fused
+    H = H + jnp.einsum("ij,iab->iajb", jnp.eye(W, dtype=H.dtype),
+                       blk).reshape(W * 6, W * 6)
 
     H = 0.5 * (H + H.T)
     return H, grad
@@ -437,8 +439,10 @@ def hess_grad_ct_t(ft, Rs0, ps0, win_mask):
         jnp.concatenate([blk_ww, blk_wt], axis=-1),
         jnp.concatenate([jnp.swapaxes(blk_wt, -1, -2), blk_tt], axis=-1),
     ], axis=-2)                                         # (W, 6, 6)
-    wi = (jnp.arange(W)[:, None] * 6 + jnp.arange(6)[None, :])  # (W, 6)
-    H = H.at[wi[:, :, None], wi[:, None, :]].add(blk)
+    # scatter-free block-diagonal add (2D-index element scatters run
+    # serially on TPU): eye-masked broadcast + reshape stays fused
+    H = H + jnp.einsum("ij,iab->iajb", jnp.eye(W, dtype=H.dtype),
+                       blk).reshape(W * 6, W * 6)
 
     H = 0.5 * (H + H.T)
     return H, grad
@@ -541,8 +545,10 @@ def hess_grad_analytic(f: FactorBatch, Rs0, ps0, win_mask):
     blk = (h2[:, :, 0] - 2.0 * u0mu[:, None, None, None] * h2[:, :, 1]) \
         / N[:, None, None, None]
     blk = jnp.einsum("f,fwij->wij", wgt, blk)           # (W, 6, 6)
-    wi = (jnp.arange(W)[:, None] * 6 + jnp.arange(6)[None, :])  # (W, 6)
-    H = H.at[wi[:, :, None], wi[:, None, :]].add(blk)
+    # scatter-free block-diagonal add (2D-index element scatters run
+    # serially on TPU): eye-masked broadcast + reshape stays fused
+    H = H + jnp.einsum("ij,iab->iajb", jnp.eye(W, dtype=H.dtype),
+                       blk).reshape(W * 6, W * 6)
 
     H = 0.5 * (H + H.T)
     return H, grad

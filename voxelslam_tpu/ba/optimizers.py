@@ -72,9 +72,11 @@ def lm_lidar(Rs, ps, factors: lf.FactorBatch, win_mask, max_iter: int = 3,
     W = Rs.shape[0]
     n6 = W * 6
 
+    ft = lf.transpose_factors(factors)   # hoisted out of the LM loop
+
     def full_eval(Rs, ps):
-        H, g = lf.hess_grad_ct(factors, Rs, ps, win_mask)
-        r = lf.cost(factors, Rs, ps, win_mask)
+        H, g = lf.hess_grad_ct_t(ft, Rs, ps, win_mask)
+        r = lf.cost_t(ft, Rs, ps, win_mask)
         return H, g, r
 
     H0, g0, r0 = full_eval(Rs, ps)
@@ -88,7 +90,7 @@ def lm_lidar(Rs, ps, factors: lf.FactorBatch, win_mask, max_iter: int = 3,
         Rs_n = Rs @ so3.exp(dxw[:, 0:3])
         ps_n = ps + dxw[:, 3:6]
         q1 = 0.5 * jnp.dot(dx, u * (D @ dx) - gf)
-        r2 = lf.cost(factors, Rs_n, ps_n, win_mask)
+        r2 = lf.cost_t(ft, Rs_n, ps_n, win_mask)
         q = r1 - r2
         accept = q > 0
         rho = q / jnp.maximum(q1, 1e-20)
@@ -120,6 +122,16 @@ def lm_lidar(Rs, ps, factors: lf.FactorBatch, win_mask, max_iter: int = 3,
 # LiDAR-inertial LM over (W, 15) states [+ shared gravity]
 # ---------------------------------------------------------------------------
 
+def _block_place(blocks: jnp.ndarray, mask2d: jnp.ndarray, W: int) -> jnp.ndarray:
+    """Place per-index (K, B, B) blocks into a (W*B, W*B) matrix at the
+    (i, j) positions where mask2d (K, W, W) is 1 — scatter-free (element
+    scatters with computed 2D indices run serially on TPU at ~0.2 us/elem;
+    the masked broadcast + reshape form stays fully fused)."""
+    B = blocks.shape[-1]
+    grid = jnp.einsum("kij,kab->iajb", mask2d, blocks)
+    return grid.reshape(W * B, W * B)
+
+
 def _imu_terms(states: NavState, preints: pre.Preint, imu_coef,
                with_gravity, Winv=None):
     """Stacked IMU factor contributions. states: batched (W,); preints:
@@ -135,17 +147,37 @@ def _imu_terms(states: NavState, preints: pre.Preint, imu_coef,
     ev = jax.vmap(lambda p, a, b, w: pre.evaluate(p, a, b, with_gravity, w))
     chi, jtj, gg = ev(preints, st1, st2, Winv)
 
-    # ONE batched scatter per tensor (a python loop of per-pair 30x30
-    # block adds is 18 tiny dynamic-update-slices — dispatch-bound)
-    H = jnp.zeros((n, n))
-    g = jnp.zeros((n,))
-    rows = (jnp.arange(W - 1)[:, None] * DIM
-            + jnp.arange(2 * DIM)[None, :])                  # (W-1, 30)
+    # scatter-free assembly of the block-tridiagonal chain: quadrants of
+    # each pair's (30, 30) block placed by eye/off-diagonal masks
+    K = W - 1
+    eye_i = jnp.eye(W)[:K]                                # (K, W) row i
+    eye_j = jnp.eye(W)[1:]                                # (K, W) row i+1
+    m_ii = eye_i[:, :, None] * eye_i[:, None, :]          # (K, W, W)
+    m_ij = eye_i[:, :, None] * eye_j[:, None, :]
+    m_ji = eye_j[:, :, None] * eye_i[:, None, :]
+    m_jj = eye_j[:, :, None] * eye_j[:, None, :]
+    D = DIM
+    H0 = (_block_place(jtj[:, 0:D, 0:D], m_ii, W)
+          + _block_place(jtj[:, 0:D, D:2 * D], m_ij, W)
+          + _block_place(jtj[:, D:2 * D, 0:D], m_ji, W)
+          + _block_place(jtj[:, D:2 * D, D:2 * D], m_jj, W))
+    g0 = (jnp.einsum("kw,ka->wa", eye_i, gg[:, 0:D])
+          + jnp.einsum("kw,ka->wa", eye_j, gg[:, D:2 * D])).reshape(-1)
     if with_gravity:
-        grav = jnp.full((W - 1, 3), n - 3) + jnp.arange(3)[None, :]
-        rows = jnp.concatenate([rows, grav], axis=1)          # (W-1, 33)
-    H = H.at[rows[:, :, None], rows[:, None, :]].add(jtj)
-    g = g.at[rows].add(gg)
+        H = jnp.zeros((n, n)).at[:W * D, :W * D].set(H0)
+        # gravity rows/cols: sum over pairs of the (33, 3) strips
+        Hg1 = jnp.einsum("kw,kag->wag", eye_i,
+                         jtj[:, 0:D, 2 * D:]).reshape(W * D, 3)
+        Hg2 = jnp.einsum("kw,kag->wag", eye_j,
+                         jtj[:, D:2 * D, 2 * D:]).reshape(W * D, 3)
+        Hg = Hg1 + Hg2
+        H = H.at[:W * D, n - 3:].set(Hg)
+        H = H.at[n - 3:, :W * D].set(Hg.T)
+        H = H.at[n - 3:, n - 3:].set(jnp.sum(jtj[:, 2 * D:, 2 * D:], axis=0))
+        g = jnp.concatenate([g0, jnp.sum(gg[:, 2 * D:], axis=0)])
+    else:
+        H = H0
+        g = g0
     return H * imu_coef, g * imu_coef, jnp.sum(chi) * imu_coef * 0.5
 
 
@@ -180,11 +212,16 @@ def _li_eval(states: NavState, factors, preints, win_mask, imu_coef,
     H_imu, g_imu, r_imu = _imu_terms(states, preints, imu_coef,
                                      with_gravity, Winv)
 
-    Hl, gl = lf.hess_grad_ct(factors, states.R, states.p, win_mask)
-    rl = lf.cost(factors, states.R, states.p, win_mask)
-    idx = (jnp.arange(W)[:, None] * DIM + jnp.arange(6)[None, :]).reshape(-1)
-    H = H_imu.at[idx[:, None], idx[None, :]].add(Hl)
-    g = g_imu.at[idx].add(gl)
+    Hl, gl = lf.hess_grad_ct_t(factors, states.R, states.p, win_mask)
+    rl = lf.cost_t(factors, states.R, states.p, win_mask)
+    # embed the (6W, 6W) pose system into the 15W layout scatter-free:
+    # zero-pad each 6-block to 15 and re-flatten
+    Hl4 = Hl.reshape(W, 6, W, 6)
+    Hl4 = jnp.pad(Hl4, ((0, 0), (0, DIM - 6), (0, 0), (0, DIM - 6)))
+    gl2 = jnp.pad(gl.reshape(W, 6), ((0, 0), (0, DIM - 6)))
+    nW = W * DIM
+    H = H_imu.at[:nW, :nW].add(Hl4.reshape(nW, nW))
+    g = g_imu.at[:nW].add(gl2.reshape(nW))
     r = r_imu + rl
     if with_gravity and g_prior_w > 0:
         Hg, gg, rg = _gravity_prior(states.g[0], g_prior_w)
@@ -202,7 +239,7 @@ def _li_residual(states, factors, preints, win_mask, imu_coef,
     if Winv is None:
         Winv = jax.vmap(pre.cov_inv)(preints)
     chi = jax.vmap(pre.chi2)(preints, st1, st2, Winv)
-    rl = lf.cost(factors, states.R, states.p, win_mask)
+    rl = lf.cost_t(factors, states.R, states.p, win_mask)
     r = jnp.sum(chi) * imu_coef * 0.5 + rl
     rg = jnp.linalg.norm(states.g[0]) - GRAVITY_NORM
     return r + g_prior_w * rg * rg
@@ -220,6 +257,8 @@ def lm_li(states: NavState, factors: lf.FactorBatch, preints: pre.Preint,
     # hoist the preintegration covariance inverses: fixed across the LM
     # (bias reparameterization moves the residual, not the noise)
     Winv = jax.vmap(pre.cov_inv)(preints)
+    # factor-minor relayout, also hoisted (see lidar_factor.transpose_factors)
+    factors = lf.transpose_factors(factors)
     H0, g0, r0 = _li_eval(states, factors, preints, win_mask, imu_coef,
                           with_gravity, g_prior_w, Winv)
 
