@@ -72,7 +72,8 @@ def lm_lidar(Rs, ps, factors: lf.FactorBatch, win_mask, max_iter: int = 3,
     W = Rs.shape[0]
     n6 = W * 6
 
-    ft = lf.transpose_factors(factors)   # hoisted out of the LM loop
+    ft = (lf.transpose_factors(factors)
+          if isinstance(factors, lf.FactorBatch) else factors)
 
     def full_eval(Rs, ps):
         H, g = lf.hess_grad_ct_t(ft, Rs, ps, win_mask)
@@ -144,7 +145,8 @@ def _imu_terms(states: NavState, preints: pre.Preint, imu_coef,
     st2 = states[slice(1, W)]
     if Winv is None:
         Winv = jax.vmap(pre.cov_inv)(preints)
-    ev = jax.vmap(lambda p, a, b, w: pre.evaluate(p, a, b, with_gravity, w))
+    ev = jax.vmap(
+        lambda p, a, b, w: pre.evaluate_closed(p, a, b, with_gravity, w))
     chi, jtj, gg = ev(preints, st1, st2, Winv)
 
     # scatter-free assembly of the block-tridiagonal chain: quadrants of
@@ -257,8 +259,10 @@ def lm_li(states: NavState, factors: lf.FactorBatch, preints: pre.Preint,
     # hoist the preintegration covariance inverses: fixed across the LM
     # (bias reparameterization moves the residual, not the noise)
     Winv = jax.vmap(pre.cov_inv)(preints)
-    # factor-minor relayout, also hoisted (see lidar_factor.transpose_factors)
-    factors = lf.transpose_factors(factors)
+    # factor-minor relayout, also hoisted; map.harvest_t emits this
+    # layout directly (see lidar_factor.transpose_factors)
+    if isinstance(factors, lf.FactorBatch):
+        factors = lf.transpose_factors(factors)
     H0, g0, r0 = _li_eval(states, factors, preints, win_mask, imu_coef,
                           with_gravity, g_prior_w, Winv)
 

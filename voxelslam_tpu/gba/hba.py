@@ -84,7 +84,7 @@ class HbaRunner:
                 levels = vm.insert_scan(levels, mcfg, wld, clouds[i], tr,
                                         masks[i] * wmask[i], i)
             levels = vm.refresh_planes(levels, mcfg, Rs, ps, mp, W)
-            factors = vm.harvest(levels, mcfg, mp, factor_max)
+            factors = vm.harvest_t(levels, mcfg, mp, factor_max)
             return opt.lm_lidar(Rs, ps, factors, wmask, max_iter=max_iter)
 
         def step(clouds, masks, Rs, ps, wmask):

@@ -628,3 +628,40 @@ def harvest(levels, cfg: MapConfig, mp: jnp.ndarray, factor_max: int):
     valid = jnp.concatenate(valids, axis=0)
     return FactorBatch(win=win, fix=fix, coeff=valid.astype(jnp.float32),
                        valid=valid)
+
+
+def harvest_level_t(lv: VoxelLevel, cfg: MapConfig, mp: jnp.ndarray,
+                    factor_max: int, eig_ratio: float):
+    """`harvest_level` emitting factor-MINOR arrays (factor axis last =
+    TPU lanes), the layout the Newton kernels consume
+    (ba.lidar_factor.hess_grad_ct_t) — the gathers write lane-dense
+    rows directly instead of round-tripping through (F, W, 3, 3)."""
+    C = lv.keys.shape[0]
+    W = mp.shape[0]
+    n_win = jnp.sum(lv.win.n, axis=0)
+    eligible = ((lv.state == STATE_PLANE)
+                & (lv.lam[:, 0] <= eig_ratio * jnp.maximum(lv.lam[:, 1], 1e-12))
+                & (n_win > 0))
+    idx = jnp.nonzero(eligible, size=factor_max, fill_value=C)[0]
+    valid = idx < C
+    safe = jnp.minimum(idx, C - 1)
+    vf = valid.astype(lv.win.mu.dtype)
+
+    n_l = lv.win.n[mp][:, safe] * vf[None]                       # (W, F)
+    mu_l = jnp.transpose(lv.win.mu[mp][:, safe], (0, 2, 1)) * vf[None, None]
+    S_l = (jnp.transpose(lv.win.S[mp][:, safe], (0, 2, 3, 1))
+           * vf[None, None, None])                               # (W,3,3,F)
+    fix_n = lv.fix.n[safe] * vf
+    fix_mu = lv.fix.mu[safe].T * vf[None]
+    fix_S = jnp.transpose(lv.fix.S[safe], (1, 2, 0)) * vf[None, None]
+    return n_l, mu_l, S_l, fix_n, fix_mu, fix_S, vf
+
+
+def harvest_t(levels, cfg: MapConfig, mp: jnp.ndarray, factor_max: int):
+    """Factor-minor harvest across levels: returns the transposed
+    factor tuple (see ba.lidar_factor.transpose_factors) ready for
+    lm_li / lm_lidar — no (F, W, ...) intermediate ever exists."""
+    parts = [harvest_level_t(lv, cfg, mp, factor_max, cfg.eig_ratio_ba)
+             for lv in levels]
+    return tuple(jnp.concatenate([p[i] for p in parts], axis=-1)
+                 for i in range(7))

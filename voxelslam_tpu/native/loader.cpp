@@ -243,7 +243,8 @@ struct Loader {
 
   size_t prefetch = 4;
   std::deque<Packet> queue;
-  size_t next_produce = 0;
+  size_t next_produce = 0;   // rows claimed by the producer
+  size_t consumed = 0;       // packets handed to the consumer
   std::mutex mu;
   std::condition_variable cv_prod, cv_cons;
   std::atomic<bool> stop{false};
@@ -446,12 +447,16 @@ int64_t vs_loader_next(void* handle, float* out_xyz, float* out_off,
   Packet pkt;
   {
     std::unique_lock<std::mutex> lk(L->mu);
-    if (L->queue.empty() && L->next_produce >= L->rows.size())
-      return -1;
+    // end-of-stream must count CONSUMED packets, not producer-claimed
+    // rows: the producer bumps next_produce before its packet reaches
+    // the queue, so checking next_produce here dropped in-flight tail
+    // scans when the consumer outran the decode of the last file.
+    if (L->consumed >= L->rows.size()) return -1;
     L->cv_cons.wait(lk, [&] { return L->stop.load() || !L->queue.empty(); });
     if (L->queue.empty()) return -1;
     pkt = std::move(L->queue.front());
     L->queue.pop_front();
+    L->consumed++;
   }
   L->cv_prod.notify_one();
   *out_t_beg = pkt.t_beg;

@@ -244,7 +244,7 @@ class SlamPipeline:
         cfg = self.cfg
         W = cfg.lba.win_size
         mg = cfg.lba.mgsize
-        factors = vm.harvest(levels, cfg.map, mp, cfg.lba.factor_max)
+        factors = vm.harvest_t(levels, cfg.map, mp, cfg.lba.factor_max)
         win_mask = jnp.ones((W,))
         new_win, H, r0, r1, conv = opt.lm_li(
             win, factors, preints, win_mask, imu_coef=cfg.lba.imu_coef,
@@ -321,7 +321,7 @@ class SlamPipeline:
                                    touched=touched)
 
         # 6) windowed LI-BA
-        factors = vm.harvest(levels, cfg.map, mp, cfg.lba.factor_max)
+        factors = vm.harvest_t(levels, cfg.map, mp, cfg.lba.factor_max)
         new_win, H, r0, r1, conv = opt.lm_li(
             win, factors, preints, jnp.ones((W,)),
             imu_coef=cfg.lba.imu_coef, max_iter=cfg.lba.max_iter)
@@ -382,7 +382,7 @@ class SlamPipeline:
             levels, icfg, states.R, states.p, mp, W,
             min_eigen_value=cfg.init.min_eigen_value,
             plane_thr=cfg.init.plane_thr)
-        factors = vm.harvest(levels, icfg, mp, cfg.lba.factor_max)
+        factors = vm.harvest_t(levels, icfg, mp, cfg.lba.factor_max)
         new_states, H, r0, r1, conv = opt.lm_li_gravity(
             states, factors, preints, jnp.ones((W,)),
             imu_coef=cfg.lba.imu_coef, max_iter=cfg.lba.max_iter,
