@@ -87,6 +87,25 @@ def test_iter_dataset_sync(tmp_path):
     assert pkts[1]["imu_ts"][0] <= pkts[0]["imu_ts"][-1]
 
 
+def test_iter_dataset_point_notime(tmp_path):
+    """Stamp-less LiDARs: the scan's nominal time becomes its END, the
+    previous scan's time its BEGIN (reference voxelslam.hpp:131-140);
+    the first scan only anchors the clock."""
+    d = str(tmp_path / "nt")
+    _write_dataset(d, n_scans=4)
+    pkts = list(cli.iter_dataset(d, "tartanair", blind=0.1,
+                                 point_notime=True))
+    # first scan consumed as anchor -> one fewer packet
+    assert len(pkts) == 3
+    # scans.txt t_begs are 0.2, 0.3, 0.4, 0.5
+    begs = [p["scan"]["t_beg"] for p in pkts]
+    ends = [p["scan"]["t_end"] for p in pkts]
+    np.testing.assert_allclose(begs, [0.2, 0.3, 0.4], atol=1e-9)
+    np.testing.assert_allclose(ends, [0.3, 0.4, 0.5], atol=1e-9)
+    for pkt in pkts:
+        assert pkt["imu_ts"][-1] >= pkt["scan"]["t_end"] - 0.011
+
+
 def test_export_roundtrip(tmp_path):
     """export subcommand: saved session -> TUM trajectory + PLY map."""
     from voxelslam_tpu.pipeline.odometry import ScanPose

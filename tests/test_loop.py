@@ -160,3 +160,105 @@ class TestPoseGraph:
             np.asarray(p2[-1]) - np.asarray(p2[0])
             - np.asarray(gt_p[-1] - gt_p[0])))
         assert drift1 < 0.2 * drift0
+
+
+class TestKeyframeConsumption:
+    """Keyframe `exist` semantics: consumption is one-way (reference
+    voxelslam.cpp:2602-2647 only ever clears exist, never re-arms), so
+    a historical keyframe is folded into the live map at most once."""
+
+    def _make_pipeline(self):
+        from voxelslam_tpu.config import small_test_config
+        from voxelslam_tpu.pipeline.loop import (LoopPipeline, Keyframe,
+                                                 LoopEdge)
+        from voxelslam_tpu.pipeline.odometry import ScanPose
+
+        cfg = small_test_config()
+        lp = LoopPipeline(cfg)
+        lp.new_session()
+        rng = np.random.default_rng(0)
+        n_scans, n_kf = 14, 7
+        for i in range(n_scans):
+            p = np.array([0.1 * i, 0.0, 0.0])
+            lp.scan_poses[0].append(ScanPose(
+                t=0.1 * i, R=np.eye(3), p=p, v=np.zeros(3),
+                v6=np.full(6, 1e-4), cloud=np.zeros((4, 3), np.float32),
+                cloud_mask=np.ones(4, np.float32), session=0))
+        for k in range(n_kf):
+            lp.keyframes[0].append(Keyframe(
+                kf_index=k, scan_id=2 * k, session=0,
+                R0=np.eye(3), p0=np.array([0.2 * k, 0.0, 0.0]),
+                cloud=np.zeros((4, 3), np.float32),
+                mask=np.ones(4, np.float32), jour=0.2 * k))
+        lp.lp_edges.append(LoopEdge(
+            id_a=0, id_b=0, ord_a=0, ord_b=n_scans - 1, R=np.eye(3),
+            t=np.array([0.1 * (n_scans - 1), 0, 0]),
+            v6=np.full(6, 1e-6)))
+        return lp
+
+    def test_consumed_keyframes_stay_consumed(self):
+        lp = self._make_pipeline()
+        kfs = lp.keyframes[0]
+        # keyframe 0 was reloaded by mid-term association earlier
+        kfs[0].exist = False
+        corr = lp._optimize(g_update=False)
+        # last 5 consumed for the rebuild; kf 0 NOT re-armed
+        assert all(not kf.exist for kf in kfs[-5:])
+        assert not kfs[0].exist
+        assert kfs[1].exist  # untouched older keyframe stays available
+        consumed_before = {id(kf) for kf in kfs if not kf.exist}
+        # a second PGO burst must not resurrect anything
+        lp._optimize(g_update=False)
+        assert {id(kf) for kf in kfs if not kf.exist} >= consumed_before
+        assert not kfs[0].exist
+
+    def test_nearby_keyframe_consumes_once(self):
+        lp = self._make_pipeline()
+        lp.graph_ids = [0]
+        p = np.array([0.0, 0.0, 0.0])
+        first = lp.nearby_keyframe(p, radius=0.5)
+        assert first is not None and not first.exist
+        lp._optimize(g_update=False)   # PGO burst between reloads
+        second = lp.nearby_keyframe(p, radius=0.5)
+        # a different (not yet consumed) keyframe or none — never the
+        # same object twice
+        assert second is not first
+
+
+class TestHighFlyProfile:
+    """Aerial parameter profile (reference read_parameters isHighFly
+    block, BTC.cpp:38-68) must actually change extraction behavior."""
+
+    def test_profile_fields_differ(self):
+        g = BtcConfig.profile(False)
+        f = BtcConfig.profile(True)
+        assert f.is_high_fly and not g.is_high_fly
+        assert f.voxel_size > g.voxel_size          # 1->2 in the ref
+        assert f.plane_eig_thr > g.plane_eig_thr    # 0.01->0.05
+        assert f.merge_normal_dot < g.merge_normal_dot
+        assert f.nms_radius > g.nms_radius          # 2->3
+        assert f.min_side > g.min_side              # 2->3
+        assert f.binary_thr < g.binary_thr          # 0.7->0.5
+
+    def test_profiles_extract_differently(self, two_visits):
+        (cloudA, maskA, _, _), _ = two_visits
+        dg = extract(jnp.array(cloudA), jnp.array(maskA),
+                     BtcConfig.profile(False))
+        df = extract(jnp.array(cloudA), jnp.array(maskA),
+                     BtcConfig.profile(True))
+        sg = np.asarray(dg["sides"])[np.asarray(dg["tri_valid"])]
+        sf = np.asarray(df["sides"])[np.asarray(df["tri_valid"])]
+        assert len(sg) > 0
+        # fly profile: longer minimum sides enforced
+        if len(sf):
+            assert sf[:, 0].min() >= 3.0 - 1e-5
+        # descriptor sets differ (shape or content)
+        assert sg.shape != sf.shape or not np.allclose(sg, sf)
+
+    def test_preset_wires_profile(self):
+        from voxelslam_tpu.config import preset
+        from voxelslam_tpu.pipeline.loop import LoopPipeline
+        lp_fly = LoopPipeline(preset("avia_fly"))
+        lp_gnd = LoopPipeline(preset("avia"))
+        assert lp_fly.btc_cfg.is_high_fly
+        assert lp_fly.btc_cfg.voxel_size > lp_gnd.btc_cfg.voxel_size

@@ -230,7 +230,8 @@ class TestEviction:
         levels = vm.insert_scan(levels, cfg, near, near, tr, m, 1, jour=750.0)
         levels = vm.refresh_planes(levels, cfg, Rs, ps, mp, 2)
 
-        ev = vm.evict(levels, jour_now=800.0, max_dist=700.0)
+        ev, dropped = vm.evict(levels, jour_now=800.0, max_dist=700.0)
+        assert np.all(np.asarray(dropped) == 0)
 
         far_keys = vh.voxel_key(far, cfg.level_size(0))
         near_keys = vh.voxel_key(near, cfg.level_size(0))
@@ -258,41 +259,26 @@ class TestEviction:
         levels = vm.insert_scan(levels, cfg, pts, pts, tr, m, 0, jour=100.0)
         levels = vm.refresh_planes(levels, cfg, Rs, ps, mp, 1)
         n_before = float(jnp.sum(levels[0].win.n))
-        ev = vm.evict(levels, jour_now=150.0, max_dist=700.0)
+        ev, _ = vm.evict(levels, jour_now=150.0, max_dist=700.0)
         assert float(jnp.sum(ev[0].win.n)) == n_before
         assert float(jnp.sum(ev[0].occ)) == float(jnp.sum(levels[0].occ))
 
 
-def test_lookup_insert_multi_match_single():
-    """lookup_multi / insert_multi must agree with per-table lookup /
-    insert across tables of different capacities."""
+def test_insert_reports_dropped_keys():
+    """insert_scan_level surfaces the count of keys whose probe chain
+    exhausted PROBES (load-factor pathology observability)."""
     import numpy as np
-    import jax
     import jax.numpy as jnp
-    from voxelslam_tpu.ops import voxel_hash as vh
+    from voxelslam_tpu.map import voxel_map as vm2
 
-    rng = np.random.default_rng(7)
-    tabs, qs, vs = [], [], []
-    for C, Q in ((1 << 10, 256), (1 << 11, 512), (1 << 12, 384)):
-        keys, occ = vh.empty_table(C)
-        uk = np.unique(rng.integers(-40, 40, (C // 4, 3)).astype(np.int32),
-                       axis=0)
-        keys, occ, _ = jax.jit(vh.insert)(keys, occ, jnp.array(uk),
-                                          jnp.ones(len(uk), bool))
-        q = np.unique(rng.integers(-50, 50, (Q, 3)).astype(np.int32), axis=0)
-        v = rng.random(len(q)) > 0.1
-        tabs.append((keys, occ))
-        qs.append(jnp.array(q))
-        vs.append(jnp.array(v))
-
-    outs = jax.jit(lambda: vh.lookup_multi(tabs, qs, vs))()
-    for (tk, oc), q, v, o in zip(tabs, qs, vs, outs):
-        ref = jax.jit(vh.lookup)(tk, oc, q, v)
-        assert np.array_equal(np.asarray(o), np.asarray(ref))
-
-    ins = jax.jit(lambda: vh.insert_multi(tabs, qs, vs))()
-    for (tk, oc), q, v, (tk2, oc2, s2) in zip(tabs, qs, vs, ins):
-        rk, ro, rs = jax.jit(vh.insert)(tk, oc, q, v)
-        assert np.array_equal(np.asarray(s2), np.asarray(rs))
-        assert np.array_equal(np.asarray(tk2), np.asarray(rk))
-        assert np.array_equal(np.asarray(oc2), np.asarray(ro))
+    lv = vm.empty_level(capacity=16, win_size=2)
+    rng = np.random.default_rng(3)
+    # far more unique voxels than a 16-slot table can hold
+    pts = rng.uniform(-50, 50, (256, 3)).astype(np.float32)
+    tr = jnp.zeros(256)
+    m = jnp.ones(256)
+    lv2, s, sv, dropped = vm2.insert_scan_level(
+        lv, 1.0, 256, jnp.array(pts), jnp.array(pts), tr, m, 0, 0.0)
+    assert int(dropped) > 0
+    # stored + dropped accounts for every unique key that was attempted
+    assert int(jnp.sum(sv)) + int(dropped) > 16

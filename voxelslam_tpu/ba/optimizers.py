@@ -18,9 +18,13 @@ u <- u*v, v <- 2v on reject; gauge fixed by pinning the first frame
 
 The dense normal systems are tiny (60 / 150 / 153), so each LM iteration
 is one fused device computation; the Hessian is exact — the closed-form
-eigen-perturbation assembly `lidar_factor.hess_grad_ct` (the autodiff
-builders are kept as cross-checked references; measured in the fused
-scan step the closed form cuts harvest+LM from 18.8 to 10.7 ms).
+eigen-perturbation assembly `lidar_factor.hess_grad_ct_t` over the
+factor-MINOR layout (factor axis last = TPU lanes; `transpose_factors`
+is hoisted out of the LM loop, and `map.harvest_t` emits the layout
+directly). The autodiff builders and the factor-major `hess_grad_ct`
+are kept as cross-checked references; measured in the fused scan step
+the closed form cut harvest+LM from 18.8 to 10.7 ms, and the
+factor-minor relayout removed the remaining transpose traffic.
 """
 
 from __future__ import annotations

@@ -60,7 +60,8 @@ def _load_scan_file(path: str, lidar_type: str, blind: float,
 
 
 def iter_dataset(dirpath: str, lidar_type: str, blind: float = 0.5,
-                 point_filter_num: int = 1, use_native: bool = True):
+                 point_filter_num: int = 1, use_native: bool = True,
+                 point_notime: bool = False):
     """Yield synchronized packets (scan + covering IMU samples) from a
     dataset directory, pairing with the reference's sync_packages
     semantics (voxelslam.hpp:112-177).
@@ -99,10 +100,12 @@ def iter_dataset(dirpath: str, lidar_type: str, blind: float = 0.5,
                  for t_beg, t_end, fname in scan_rows)
 
     scan_queue = []
+    nt_state: dict = {}
     for scan in scans:
         scan_queue.append(scan)
         while True:
-            pkt = sync_packages(scan_queue, imu_queue)
+            pkt = sync_packages(scan_queue, imu_queue,
+                                point_notime=point_notime, state=nt_state)
             if pkt is None:
                 break
             yield pkt
@@ -174,7 +177,8 @@ def cmd_run(args, log):
     n = 0
     for pkt in iter_dataset(args.dataset, cfg.lidar_type,
                             blind=args.blind,
-                            point_filter_num=args.point_filter_num):
+                            point_filter_num=args.point_filter_num,
+                            point_notime=cfg.odom.point_notime):
         scan = pkt["scan"]
         out = system.process_scan(scan["points"], scan["offsets"],
                                   pkt["imu_ts"], pkt["imu_gyr"],

@@ -25,7 +25,8 @@ class MapConfig:
     min_eigen_value: float = 0.0025         # Odometry/LocalBA plane gate
     plane_thr: Tuple[float, ...] = (0.25, 0.25, 0.25)  # lam0/lam2 per layer
     max_points: int = 100                   # fixed-point cap per voxel
-    min_ba_point: int = 20
+    # (the reference's LocalBA/min_ba_point rosparam is read but its only
+    # use is commented out, voxel_map.hpp:1783 — intentionally absent)
     unique_max: Tuple[int, ...] = (4096, 8192, 16384)  # per-level cap on unique voxels touched per scan
     eig_ratio_ba: float = 0.12              # tras_opt gate (voxel_map.hpp:1615)
     evict_dist: float = 700.0               # jour-distance eviction (voxelslam.cpp:1806)
@@ -96,7 +97,8 @@ class LoopConfig:
     mgsize: int = 1
     is_high_fly: bool = False
     descriptor_near_num: int = 20
-    candidate_num: int = 50
+    candidate_num: int = 20                # BTC candidate frames verified
+                                           # (BTC.cpp:31; fly profile 100)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,7 +109,6 @@ class GBAConfig:
     total_max_iter: int = 10
     win_size: int = 10
     stride: int = 5
-    thread_equiv: int = 5                  # reference thread pool width
 
 
 @dataclasses.dataclass(frozen=True)

@@ -149,17 +149,36 @@ def decode(arr: np.ndarray, lidar_type: str, blind: float = 0.5,
 
 
 def sync_packages(scan_queue: list, imu_queue: list, point_notime=False,
-                  min_imu=5):
+                  min_imu=5, state: dict | None = None):
     """Pair the oldest scan with all IMU samples up to its end time
     (reference sync_packages, voxelslam.hpp:112-177).
 
     scan_queue entries: dict with t_beg, t_end + decode() output.
     imu_queue entries: (t, gyr (3,), acc (3,)).
     Pops consumed items; returns None until a complete packet exists.
+
+    point_notime (stamp-less LiDARs): the scan's nominal time becomes
+    its END and the PREVIOUS scan's time its BEGIN (the reference
+    rewrites pcl_beg/end the same way, voxelslam.hpp:131-140); the very
+    first scan only anchors the clock and is consumed without a packet.
+    Pass a persistent `state` dict so the anchor survives across calls.
     """
     if not scan_queue or not imu_queue:
         return None
     scan = scan_queue[0]
+    if point_notime and not scan.get("_nt_adjusted"):
+        if state is None:
+            raise ValueError("point_notime requires a persistent `state`"
+                             " dict across sync_packages calls")
+        if state.get("last_time") is None:
+            state["last_time"] = scan["t_beg"]
+            scan_queue.pop(0)
+            return None
+        new_end = scan["t_beg"]
+        scan["t_end"] = new_end
+        scan["t_beg"] = state["last_time"]
+        state["last_time"] = new_end
+        scan["_nt_adjusted"] = True
     t_end = scan["t_end"]
     if imu_queue[-1][0] < t_end:
         return None  # IMU not caught up yet

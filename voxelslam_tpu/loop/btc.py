@@ -4,21 +4,30 @@ Capability parity with the reference's `STDescManager`
 (BTC.h:228-274, BTC.cpp:90-1479 in the reference tree):
 
   keyframe cloud
-    -> single-level voxel plane detection        (BTC.cpp:90-139,279-338)
-    -> per-plane projection images: 0.5 m grid, occupancy over height
-       slices = binary code + summary            (extract_binary, :613-924)
-    -> block-max NMS -> corner keypoints          (:926-977)
-    -> triangles over top corners, sides sorted a<=b<=c, deduplicated by
-       quantized side lengths                     (generate_std, :979-1126)
+    -> two-resolution voxel plane detection + EM coplanar merge
+       (reference init_plane/merge_plane, BTC.cpp:90-139,279-569)
+    -> corner keypoints: the reference projects each plane to an
+       occupancy image and NMS-picks maxima (extract_binary, :613-977);
+       here the SAME physical corners are found as well-conditioned
+       plane-triple intersections with cloud support + greedy NMS — a
+       deliberate redesign (_structural_corners docstring) that avoids
+       the line-tie instability of image maxima
+    -> per-corner rotation-invariant radial-shell occupancy code
+       (replaces the height-slice binary descriptor, same gating role)
+    -> triangles over top corners, sides sorted a<=b<=c, vertices
+       aligned to the side sort                   (generate_std, :979-1126)
     -> hash DB keyed by quantized sides; queries vote per frame with +-1
        quantization slack                         (SearchLoop, :1128-1279)
     -> SVD rigid solve on matched triangles + agreement voting
        (triangle_solver, :1398-1420)
     -> plane-overlap geometric score              (:1422-1479)
 
-TPU split: plane extraction + projection images + corner NMS run as
-batched device ops; the descriptor DB and voting are a host-side hash
-(same as the reference's unordered_map DB).
+Ground vs aerial parameter profiles: BtcConfig.profile(is_high_fly)
+mirrors read_parameters' two blocks (BTC.cpp:3-68).
+
+TPU split: plane extraction + corner solving/NMS run as batched device
+ops; the descriptor DB and voting are a host-side hash (same as the
+reference's unordered_map DB).
 """
 
 from __future__ import annotations
@@ -40,22 +49,47 @@ class BtcConfig:
     plane_min_points: int = 10       # profile voxel_size, read_parameters)
     plane_eig_thr: float = 0.01      # lam_min gate (BTC.cpp:110)
     max_planes: int = 24
-    image_res: float = 0.5           # projection grid (BTC.cpp:676)
-    grid: int = 48                   # cells per side
     height_slices: int = 8
     slice_height: float = 0.5
-    nms_block: int = 5               # 5x5 block max (BTC.cpp:900ish)
     max_corners: int = 24            # kept corners per keyframe
+    nms_radius: float = 1.5          # corner suppression radius (m)
+    merge_normal_dot: float = 0.9    # coplanar-merge |n_a . n_b| gate
+    merge_dist: float = 0.4          # coplanar-merge plane-distance gate
     min_side: float = 2.0
-    max_side: float = 30.0
+    max_side: float = 50.0           # descriptor_max_len (BTC.cpp:24)
     side_quant: float = 0.2          # side-length hash quantization (m)
     min_votes: int = 5               # candidate gate (BTC.cpp:1227)
     max_matches: int = 50            # RANSAC-lite pairs (BTC.cpp:1290)
+    binary_thr: float = 0.6          # occupancy-code similarity gate
     vertex_tol: float = 1.0          # agreement threshold (m)
     plane_norm_tol: float = 0.85     # overlap: |n_s . n_t| >=
-    plane_dist_tol: float = 0.5      # overlap: |n.(c_s - c_t)| <
-    # aerial profile tweaks (reference isHighFly, BTC.cpp:3-68)
+    plane_dist_tol: float = 0.5     # overlap: |n.(c_s - c_t)| <
     is_high_fly: bool = False
+
+    @classmethod
+    def profile(cls, is_high_fly: bool = False) -> "BtcConfig":
+        """Ground vs aerial parameter profiles (reference
+        read_parameters, BTC.cpp:3-68). Airborne keyframes see sparser,
+        larger-scale structure: bigger plane voxels + looser plane gate
+        (voxel_size 1->2, plane_detection_thre 0.01->0.05), laxer
+        coplanar merging (plane_merge_normal/dis_thre 0.1/0.3 ->
+        0.3/0.6), a larger corner budget with wider suppression
+        (useful_corner_num 100->200, NMS radius 2->3), longer minimum
+        triangle sides (descriptor_min_len 2->3) and a looser
+        binary-similarity gate (similarity_threshold 0.7->0.5)."""
+        if not is_high_fly:
+            return cls()
+        return cls(
+            is_high_fly=True,
+            voxel_size=4.0,
+            plane_eig_thr=0.05,
+            merge_normal_dot=0.7,
+            merge_dist=0.8,
+            max_corners=32,
+            nms_radius=3.0,
+            min_side=3.0,
+            binary_thr=0.5,
+        )
 
 
 def _extract_planes(cloud, mask, cfg: BtcConfig):
@@ -136,7 +170,8 @@ def _extract_planes(cloud, mask, cfg: BtcConfig):
         pdist = jnp.abs(jnp.einsum("umi->um",
                                    (mu[:, None, :] - centers[None])
                                    * normals[None]))
-        elig = (ndot > 0.9) & (pdist < 0.4) & valid[None, :]
+        elig = (ndot > cfg.merge_normal_dot) & (pdist < cfg.merge_dist) \
+            & valid[None, :]
         gain = jnp.where(elig, mn[None, :], -1.0)
         assign = jnp.argmax(gain, axis=-1)
         has = (jnp.max(gain, axis=-1) > 0) & is_plane
@@ -235,8 +270,9 @@ def _structural_corners(cloud, mask, centers, normals, pvalid, pradius,
 
     # greedy NMS: the same physical corner re-appears from many plane
     # triples spread over >0.5 m — pick best-supported candidates with a
-    # 1.5 m suppression radius so the C-corner budget covers C distinct
-    # physical corners
+    # cfg.nms_radius suppression radius so the C-corner budget covers C
+    # distinct physical corners (reference non_max_suppression_radius_,
+    # BTC.cpp:26/64)
     score0 = jnp.where(ok, supp, -1.0)
     ncand = min(256, T)
     cvals, cidx = jax.lax.top_k(score0, ncand)
@@ -246,7 +282,7 @@ def _structural_corners(cloud, mask, centers, normals, pvalid, pradius,
         i = jnp.argmax(sc)
         best_ok = sc[i] > 0
         d = jnp.linalg.norm(cpos - cpos[i], axis=-1)
-        sc = jnp.where(d < 1.5, -1.0, sc)
+        sc = jnp.where(d < cfg.nms_radius, -1.0, sc)
         return sc, jnp.where(best_ok, i, -1)
 
     _, picks = jax.lax.scan(nms_step, cvals, None, length=C)
@@ -268,106 +304,6 @@ def _structural_corners(cloud, mask, centers, normals, pvalid, pradius,
         jnp.arange(C)[:, None], sid].add(sweight, mode="drop")
     binary = (cnt >= 3.0).astype(jnp.float32)
     return corners, support, binary, cvalid
-
-
-def _project_corners(cloud, mask, centers, normals, pvalid, cfg: BtcConfig):
-    """Binary projection images + block-max NMS corners per plane.
-
-    Returns (corners (P*C, 3), summary (P*C,), binary (P*C, S), valid).
-    """
-    P = centers.shape[0]
-    G = cfg.grid
-    S = cfg.height_slices
-    C = cfg.max_corners
-
-    # plane bases
-    a = jnp.where(jnp.abs(normals[:, 2:3]) < 0.9,
-                  jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), normals.shape),
-                  jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), normals.shape))
-    t1 = jnp.cross(normals, a)
-    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
-    t2 = jnp.cross(normals, t1)
-
-    rel = cloud[None, :, :] - centers[:, None, :]          # (P, N, 3)
-    u = jnp.einsum("pni,pi->pn", rel, t1)
-    v = jnp.einsum("pni,pi->pn", rel, t2)
-    h = jnp.einsum("pni,pi->pn", rel, normals)
-    gx = jnp.floor(u / cfg.image_res).astype(jnp.int32) + G // 2
-    gy = jnp.floor(v / cfg.image_res).astype(jnp.int32) + G // 2
-    # symmetric height window: merged-plane normals are sign-canonical,
-    # so structure may rise to either side of the plane
-    hs = jnp.floor(h / cfg.slice_height).astype(jnp.int32) + S // 2
-    ok = ((mask[None, :] > 0) & (gx >= 0) & (gx < G) & (gy >= 0) & (gy < G)
-          & (hs >= 0) & (hs < S) & pvalid[:, None])
-
-    # occupancy (P, G, G, S) via scatter-max
-    occ = jnp.zeros((P, G, G, S))
-    pidx = jnp.broadcast_to(jnp.arange(P)[:, None], gx.shape)
-    flat = jnp.where(ok, ((pidx * G + gx) * G + gy) * S + hs, P * G * G * S)
-    occ = occ.reshape(-1).at[flat.reshape(-1)].max(
-        jnp.ones_like(flat.reshape(-1), jnp.float32), mode="drop")
-    occ = occ.reshape(P, G, G, S)
-    summary = jnp.sum(occ, axis=-1)                        # (P, G, G)
-
-    # ---- Harris corner response on the occupancy-summary image ----
-    # Occupancy summaries are piecewise-constant region images: maxima
-    # tie along whole wall-intersection LINES, so intensity peaks are
-    # not repeatable across samplings. Corners of the high-occupancy
-    # REGIONS are the stable physical features (the reference's line
-    # filter + max-constraint inside extract_binary, BTC.cpp:613-924,
-    # serves the same purpose); the Harris response finds exactly those.
-    def box3(img):
-        out = jnp.zeros_like(img)
-        for ddx in (-1, 0, 1):
-            for ddy in (-1, 0, 1):
-                out = out + jnp.roll(jnp.roll(img, ddx, 1), ddy, 2)
-        return out
-
-    g = box3(summary) / 9.0                               # light blur
-    Ix = 0.5 * (jnp.roll(g, -1, 1) - jnp.roll(g, 1, 1))
-    Iy = 0.5 * (jnp.roll(g, -1, 2) - jnp.roll(g, 1, 2))
-    Sxx = box3(Ix * Ix)
-    Syy = box3(Iy * Iy)
-    Sxy = box3(Ix * Iy)
-    harris = (Sxx * Syy - Sxy * Sxy) - 0.05 * (Sxx + Syy) ** 2
-    # kill the wrap-around border introduced by roll
-    bmask = jnp.zeros((G, G)).at[2:-2, 2:-2].set(1.0)
-    harris = harris * bmask[None]
-
-    pooled = jax.lax.reduce_window(
-        harris, -jnp.inf, jax.lax.max,
-        (1, cfg.nms_block, cfg.nms_block), (1, 1, 1), "SAME")
-    is_peak = (harris >= pooled) & (harris > 0.5)
-
-    flat_h = jnp.where(is_peak, harris, -1.0).reshape(P, G * G)
-    hvals, idx = jax.lax.top_k(flat_h, C)                 # (P, C)
-    cx = idx // G
-    cy = idx % G
-    pij = jnp.broadcast_to(jnp.arange(P)[:, None], cx.shape)
-    vals = summary[pij, cx, cy]
-    # sub-cell refinement: response-weighted centroid over 3x3
-    wsum = jnp.zeros(cx.shape)
-    du = jnp.zeros(cx.shape)
-    dv = jnp.zeros(cx.shape)
-    for ddx in (-1, 0, 1):
-        for ddy in (-1, 0, 1):
-            nx = jnp.clip(cx + ddx, 0, G - 1)
-            ny = jnp.clip(cy + ddy, 0, G - 1)
-            s = jnp.maximum(harris[pij, nx, ny], 0.0)
-            wsum = wsum + s
-            du = du + s * ddx
-            dv = dv + s * ddy
-    du = du / jnp.maximum(wsum, 1e-6)
-    dv = dv / jnp.maximum(wsum, 1e-6)
-    uu = (cx - G // 2 + 0.5 + du) * cfg.image_res
-    vv = (cy - G // 2 + 0.5 + dv) * cfg.image_res
-    corners = (centers[:, None, :] + uu[..., None] * t1[:, None, :]
-               + vv[..., None] * t2[:, None, :])           # (P, C, 3)
-    binary = jnp.take_along_axis(
-        occ.reshape(P, G * G, S), idx[..., None], axis=1)  # (P, C, S)
-    cvalid = (hvals > 0.5) & pvalid[:, None]
-    return (corners.reshape(-1, 3), vals.reshape(-1),
-            binary.reshape(-1, S), cvalid.reshape(-1))
 
 
 def _triangles(corners, summary, binary, cvalid, cfg: BtcConfig):
@@ -462,12 +398,15 @@ class DescriptorDB:
         return 2.0 * inter / max(tot, 1e-6)
 
     def search(self, desc, skip_near: int = 10, current_frame: int = 1 << 30,
-               binary_thr: float = 0.6):
+               binary_thr: float | None = None):
         """Vote candidate frames for a query keyframe; a side-hash hit
         only votes when the vertex occupancy codes agree (the reference's
-        binary check inside candidate_selector). Returns
-        [(frame, votes, matches)] sorted by votes; matches are
+        binary check inside candidate_selector; gate =
+        cfg.binary_thr, the similarity_threshold of BTC.cpp:32/66).
+        Returns [(frame, votes, matches)] sorted by votes; matches are
         (query tri idx, target tri idx) pairs."""
+        if binary_thr is None:
+            binary_thr = self.cfg.binary_thr
         d = {k: np.asarray(v) for k, v in desc.items()}
         ok = np.where(d["tri_valid"])[0]
         votes = defaultdict(list)

@@ -134,10 +134,12 @@ def insert_scan_level(lv: VoxelLevel, level_size: float, unique_max: int,
                       frame_slot, jour, _pre=None):
     """Insert one scan's points into a level at window slot `frame_slot`.
 
-    Returns (level, touched_slots (U,), touched_valid (U,)) — the slots
-    that received points, for the incremental plane refresh. `_pre`
-    optionally carries precomputed (uniq, uvalid, inv, tkeys, occ,
-    uslots) from the fused multi-level probe (insert_scan_touched)."""
+    Returns (level, touched_slots (U,), touched_valid (U,), dropped) —
+    the slots that received points, for the incremental plane refresh,
+    plus the count of unique keys whose probe chain exhausted PROBES
+    (silently sparsified otherwise — callers surface this so load-factor
+    pathologies are observable). `_pre` optionally carries precomputed
+    (uniq, uvalid, inv, tkeys, occ, uslots)."""
     C = lv.keys.shape[0]
     if _pre is None:
         keys = vh.voxel_key(pts_world, level_size)
@@ -177,7 +179,8 @@ def insert_scan_level(lv: VoxelLevel, level_size: float, unique_max: int,
 
     lv = dataclasses.replace(lv, keys=tkeys, occ=occ, win=win,
                              win_tr=win_tr, jour=jour_arr)
-    return lv, uslots, uvalid & (uslots >= 0)
+    dropped = jnp.sum((uvalid & (uslots < 0)).astype(jnp.int32))
+    return lv, uslots, uvalid & (uslots >= 0), dropped
 
 
 def insert_scan(levels, cfg: MapConfig, pts_world, pts_local, tr_pt, mask,
@@ -191,15 +194,17 @@ def insert_scan_touched(levels, cfg: MapConfig, pts_world, pts_local,
                         tr_pt, mask, frame_slot, jour=0.0):
     """insert_scan + per-level (slots, valid) of the voxels touched.
 
-    All levels' hash probes run in ONE fused loop (vh.insert_multi);
-    the per-level dedup sorts and moment scatters stay data-parallel."""
+    Each level runs its own straight-line PROBES-round insert
+    (ops.voxel_hash.insert); the dedup sorts and moment scatters are
+    data-parallel within a level and independent across levels, so XLA
+    overlaps them freely inside the fused scan step."""
     out, touched = [], []
     for l, lv in enumerate(levels):
-        lv2, s, sv = insert_scan_level(
+        lv2, s, sv, dropped = insert_scan_level(
             lv, cfg.level_size(l), cfg.unique_max[l],
             pts_world, pts_local, tr_pt, mask, frame_slot, jour)
         out.append(lv2)
-        touched.append((s, sv))
+        touched.append((s, sv, dropped))
     return tuple(out), touched
 
 
@@ -239,7 +244,8 @@ def insert_fixed_level(lv: VoxelLevel, level_size: float, unique_max: int,
         jnp.float32(jour), mode="drop")
     lv = dataclasses.replace(lv, keys=tkeys, occ=occ, fix=fix,
                              fix_tr=fix_tr, jour=jour_arr)
-    return lv, uslots, uvalid & (uslots >= 0)
+    dropped = jnp.sum((uvalid & (uslots < 0)).astype(jnp.int32))
+    return lv, uslots, uvalid & (uslots >= 0), dropped
 
 
 def insert_fixed(levels, cfg: MapConfig, pts_world, tr_pt, mask, jour=0.0):
@@ -252,11 +258,11 @@ def insert_fixed_touched(levels, cfg: MapConfig, pts_world, tr_pt, mask,
                          jour=0.0):
     out, touched = [], []
     for l, lv in enumerate(levels):
-        lv2, s, sv = insert_fixed_level(
+        lv2, s, sv, dropped = insert_fixed_level(
             lv, cfg.level_size(l), cfg.unique_max[l], pts_world, tr_pt,
             mask, jour)
         out.append(lv2)
-        touched.append((s, sv))
+        touched.append((s, sv, dropped))
     return tuple(out), touched
 
 
@@ -397,11 +403,12 @@ def refresh_planes_level(lv: VoxelLevel, layer: int, cfg: MapConfig,
 
 def refresh_planes(levels, cfg: MapConfig, Rs, ps, mp, win_count,
                    min_eigen_value=None, plane_thr=None, touched=None):
-    """touched: optional per-level (slots, valid) from insert_*_touched;
-    when given, only those voxels are re-fit (incremental refresh)."""
+    """touched: optional per-level (slots, valid[, dropped]) from
+    insert_*_touched; when given, only those voxels are re-fit
+    (incremental refresh)."""
     out = []
     for l, lv in enumerate(levels):
-        s, sv = (None, None) if touched is None else touched[l]
+        s, sv = (None, None) if touched is None else touched[l][:2]
         out.append(refresh_planes_level(lv, l, cfg, Rs, ps, mp, win_count,
                                         min_eigen_value, plane_thr, s, sv))
     return tuple(out)
@@ -427,7 +434,7 @@ def match_locate(levels, cfg: MapConfig, pts_world: jnp.ndarray,
     rec = jnp.zeros((N, SLAB), pts_world.dtype)
     found = jnp.zeros((N,), jnp.bool_)
     # per-level descend-gated probes: measured FASTER than fusing all
-    # levels into one loop (vh.lookup_multi) — the descend mask empties
+    # levels into one shared probe loop — the descend mask empties
     # quickly at deeper levels, so the per-level loops exit after fewer
     # rounds than a fused loop paying max-rounds across levels
     # (38.9 vs 40.4 ms/scan fused, full scan step on TPU).
@@ -525,16 +532,20 @@ def marginalize(levels, cfg: MapConfig, Rs, ps, mp, win_count, mgsize: int):
 # voxelslam.cpp:1786-1833)
 # ---------------------------------------------------------------------------
 
-def evict_level(lv: VoxelLevel, jour_now, max_dist: float) -> VoxelLevel:
+def evict_level(lv: VoxelLevel, jour_now, max_dist: float):
     """Rebuild the level keeping only voxels created within `max_dist`
     of the current journey distance. Rehashes survivors into a fresh
     table (open addressing cannot delete in place without breaking probe
     chains) and permutes every per-slot array. Run occasionally from the
-    host when load factor grows — not in the per-scan step."""
+    host when load factor grows — not in the per-scan step.
+
+    Returns (level, dropped): survivors whose rehash exhausted PROBES
+    vanish from the map, so the count is surfaced to the caller."""
     C = lv.keys.shape[0]
     keep = lv.occ & (jour_now - lv.jour <= max_dist)
     nkeys, nocc = vh.empty_table(C)
     nkeys, nocc, slots = vh.insert(nkeys, nocc, lv.keys, keep)
+    dropped = jnp.sum((keep & (slots < 0)).astype(jnp.int32))
     # barrier: see voxel_hash.insert (scatter fusion assertion)
     tgt, keep = jax.lax.optimization_barrier(
         (jnp.where(keep & (slots >= 0), slots, C), keep))
@@ -559,11 +570,13 @@ def evict_level(lv: VoxelLevel, jour_now, max_dist: float) -> VoxelLevel:
         slab=perm(lv.slab),
         lam=perm(lv.lam),
         jour=perm(lv.jour),
-    )
+    ), dropped
 
 
 def evict(levels, jour_now, max_dist: float = 700.0):
-    return tuple(evict_level(lv, jour_now, max_dist) for lv in levels)
+    """Returns (levels, dropped_per_level) — see evict_level."""
+    outs = [evict_level(lv, jour_now, max_dist) for lv in levels]
+    return tuple(o[0] for o in outs), jnp.stack([o[1] for o in outs])
 
 
 def map_stats(levels):

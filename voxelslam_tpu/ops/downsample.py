@@ -98,7 +98,8 @@ def voxel_downsample_pvec(points: jnp.ndarray, var: jnp.ndarray,
         var * w[:, None, None], mode="drop")
     inv_n = 1.0 / jnp.maximum(n, 1.0)
     out = s * inv_n[:, None]
-    # mean of covariances scaled by 1/n (variance of the mean under the
-    # independent-noise model the reference uses)
-    var_out = sv * (inv_n * inv_n)[:, None, None]
+    # running MEAN of member covariances, matching the reference's
+    # incremental update var = (var*k + var_new)/(k+1)
+    # (voxel_map.hpp:61-62) — NOT the variance of the mean
+    var_out = sv * inv_n[:, None, None]
     return out, var_out, uvalid & (n > 0)

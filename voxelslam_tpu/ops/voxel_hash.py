@@ -91,14 +91,6 @@ def lookup(table_keys: jnp.ndarray, occ: jnp.ndarray,
     return jnp.where(valid, slot, -1)
 
 
-def lookup_multi(tables, queries, valids):
-    """Probe SEVERAL tables; straight-line per table (kept for callers
-    that batch probes; with unrolled probing there is no shared loop to
-    fuse, so this is just the per-table loop)."""
-    return [lookup(tk, oc, q, v)
-            for (tk, oc), q, v in zip(tables, queries, valids)]
-
-
 def insert(table_keys: jnp.ndarray, occ: jnp.ndarray,
            queries: jnp.ndarray, valid: jnp.ndarray):
     """Insert (deduplicated!) keys; returns (table_keys, occ, slots).
@@ -157,13 +149,6 @@ def insert(table_keys: jnp.ndarray, occ: jnp.ndarray,
     table_keys = table_keys.at[tgt].set(upd, mode="drop")
     occ = occ.at[tgt].set(True, mode="drop")
     return table_keys, occ, slot
-
-
-def insert_multi(tables, queries, valids):
-    """`insert` over SEVERAL tables. queries must be per-table
-    deduplicated. Returns a list of (table_keys, occ, slots) triples."""
-    return [insert(tk, oc, q, v)
-            for (tk, oc), q, v in zip(tables, queries, valids)]
 
 
 def dedup_keys(keys: jnp.ndarray, valid: jnp.ndarray, unique_max: int):

@@ -92,7 +92,7 @@ def _next_pow2(n: int) -> int:
 class LoopPipeline:
     def __init__(self, cfg: SlamConfig):
         self.cfg = cfg
-        self.btc_cfg = BtcConfig(is_high_fly=cfg.loop.is_high_fly)
+        self.btc_cfg = BtcConfig.profile(cfg.loop.is_high_fly)
         W = cfg.lba.win_size
         self.kf_point_max = 8192
 
@@ -267,7 +267,8 @@ class LoopPipeline:
         cands = db.search(desc_np, skip_near=skip,
                           current_frame=kf.kf_index if tid == kf.session
                           else 1 << 30)
-        for frame_id, votes, matches in cands[:3]:
+        for frame_id, votes, matches in \
+                cands[:self.cfg.loop.candidate_num]:
             ver = db.verify(desc_np, frame_id, matches)
             if ver is None or ver["overlap"] < self.juds[tid]:
                 continue
@@ -376,13 +377,15 @@ class LoopPipeline:
         dx_R = x3.R @ x1_R.T
         dx_p = x3.p - dx_R @ x1_p
 
-        # live-map keyframes: last 5 of the current session (:2602-2625)
-        kfs = self.keyframes[self.cur_session]
-        live = kfs[-5:]
+        # live-map keyframes: last 5 of the current session are consumed
+        # for the map rebuild (:2602-2625). Consumption is one-way, like
+        # the reference (sp->exist = 0, :2611, never set back): a
+        # keyframe already folded into the live map must not be reloaded
+        # by nearby_keyframe after a later PGO burst — re-insertion would
+        # double-count its points in the voxel statistics.
+        live = self.keyframes[self.cur_session][-5:]
         for kf in live:
             kf.exist = False
-        for kf in kfs[:-5]:
-            kf.exist = True
         return LoopCorrection(dx_R=dx_R, dx_p=dx_p, g_update=g_update,
                               map_keyframes=list(live))
 

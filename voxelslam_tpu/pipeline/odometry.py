@@ -179,6 +179,7 @@ class SlamPipeline:
             self.scan_poses: list[ScanPose] = []
             self._gravity = None
             self._bg0 = jnp.zeros(3)
+            self._scale_gravity = 1.0
             self._imu_acc = []
             self._imu_gyr = []
 
@@ -249,10 +250,11 @@ class SlamPipeline:
         new_win, H, r0, r1, conv = opt.lm_li(
             win, factors, preints, win_mask, imu_coef=cfg.lba.imu_coef,
             max_iter=cfg.lba.max_iter)
-        # per-scan variance from the BA Hessian diagonal (pose block of
-        # frame 0 — the scan leaving the window; reference :1974-1980)
-        d = jnp.diag(H)[0 * DIM:0 * DIM + 6]
-        v6 = 1.0 / jnp.maximum(d, 1e-6)
+        # per-scan variance from each EMITTED frame's BA Hessian pose
+        # block (reference :1974-1980; frames 0..mg-1 leave the window)
+        d = jnp.stack([jnp.diag(H)[k * DIM:k * DIM + 6]
+                       for k in range(mg)])               # (mg, 6)
+        v6 = 1.0 / jnp.maximum(jnp.abs(d), 1e-6)
         # refresh planes with optimized states, then marginalize
         levels = vm.refresh_planes(levels, cfg.map, new_win.R, new_win.p, mp, W)
         levels = vm.marginalize(levels, cfg.map, new_win.R, new_win.p, mp,
@@ -325,8 +327,12 @@ class SlamPipeline:
         new_win, H, r0, r1, conv = opt.lm_li(
             win, factors, preints, jnp.ones((W,)),
             imu_coef=cfg.lba.imu_coef, max_iter=cfg.lba.max_iter)
-        d6 = jnp.diag(H)[0:6]
-        v6 = 1.0 / jnp.maximum(d6, 1e-6)
+        # per-EMITTED-frame variance from that frame's Hessian pose
+        # block (reference voxelslam.cpp:1974-1980 takes the frame-0
+        # block; with mgsize>1 each marginalized frame gets its own)
+        d6 = jnp.stack([jnp.diag(H)[k * DIM:k * DIM + 6]
+                        for k in range(mg)])              # (mg, 6)
+        v6 = 1.0 / jnp.maximum(jnp.abs(d6), 1e-6)
 
         # 7) marginalize with optimized poses, slide (plane params of
         #    marginalized voxels refresh on their next touch, matching
@@ -339,12 +345,15 @@ class SlamPipeline:
         win_next = jax.tree.map(
             lambda a: jnp.concatenate([a[mg:], a[:mg]], axis=0), new_win)
         x_out = new_win[W - 1]
+        # hash-overflow observability: unique keys this scan whose probe
+        # chain exhausted (silently sparsified otherwise)
+        dropped = jnp.sum(jnp.stack([t[2] for t in touched]))
         # pack all small outputs into one vector -> one host fetch per scan
         stats = jnp.concatenate([
             jnp.stack([ok.astype(jnp.float32),
                        diag["matches"].astype(jnp.float32),
                        diag["nnt_eig"][0], r0, r1]),
-            v6,
+            v6.reshape(-1),
             emitted.t.reshape(-1),
             emitted.R.reshape(-1),
             emitted.p.reshape(-1),
@@ -352,6 +361,7 @@ class SlamPipeline:
             emitted.bg.reshape(-1),
             emitted.ba.reshape(-1),
             emitted.g.reshape(-1),
+            jnp.stack([dropped.astype(jnp.float32)]),
         ])
         return (x_out, levels, win_next, mp_new, preints, stats,
                 down, dmask, tr)
@@ -475,6 +485,15 @@ class SlamPipeline:
                 self.x = dataclasses.replace(self.x, g=g)
             self.last_scan_end = t_end
             return {"phase": "imu_init"}
+
+        # g-normalized Livox IMUs report acc in units of g: scale every
+        # sample to SI at ingestion, the single point all downstream
+        # propagation AND preintegration consume (the reference instead
+        # multiplies inside motion_blur and push_imu via scale_gravity /
+        # imupre_scale_gravity, ekf_imu.hpp:199-209, voxelslam.cpp:1465
+        # — same effect, one site)
+        if self._scale_gravity != 1.0:
+            imu_acc = np.asarray(imu_acc, np.float64) * self._scale_gravity
 
         pts_j, off_j, pmask = self._pad_points(points, offsets)
         ts_j, gyr_j, acc_j, imask = self._pad_imu(imu_ts, imu_gyr, imu_acc)
@@ -607,11 +626,12 @@ class SlamPipeline:
         preints = _stack(self._preint_list[-(W - 1):])
         levels, new_win, win_shift, mp_new, v6, r0, r1 = \
             self._jit_ba_slide(self.levels, self.win, preints, self.mp)
+        v6 = np.asarray(v6)
         for k in range(mg):
             s = new_win[k]
             self.scan_poses.append(ScanPose(
                 t=float(s.t), R=np.asarray(s.R), p=np.asarray(s.p),
-                v=np.asarray(s.v), v6=np.asarray(v6),
+                v=np.asarray(s.v), v6=v6[k],
                 cloud=self.scan_buf[k].copy(),
                 cloud_mask=self.scan_mask[k].copy(),
                 session=self.session,
@@ -690,8 +710,8 @@ class SlamPipeline:
         st = np.asarray(stats)  # ONE packed device->host fetch
         ok = bool(st[0] > 0)
         matches, nnt_eig0, r0, r1 = st[1], st[2], st[3], st[4]
-        v6_np = st[5:11]
-        off = 11
+        v6_np = st[5:5 + 6 * mg].reshape(mg, 6)
+        off = 5 + 6 * mg
         e_t = st[off:off + mg]
         e_R = st[off + mg:off + mg + 9 * mg].reshape(mg, 3, 3)
         e_p = st[off + 10 * mg:off + 13 * mg].reshape(mg, 3)
@@ -699,6 +719,7 @@ class SlamPipeline:
         e_bg = st[off + 16 * mg:off + 19 * mg].reshape(mg, 3)
         e_ba = st[off + 19 * mg:off + 22 * mg].reshape(mg, 3)
         e_g = st[off + 22 * mg:off + 25 * mg].reshape(mg, 3)
+        hash_dropped = int(st[off + 25 * mg])
         self.jour += float(np.linalg.norm(e_p[-1] - self._last_p)) \
             if self._last_p is not None else 0.0
         self._last_p = e_p[-1]
@@ -718,7 +739,8 @@ class SlamPipeline:
             self.scan_tr[W - 1] = np.asarray(tr)
         for k in range(mg):
             self.scan_poses.append(ScanPose(
-                t=float(e_t[k]), R=e_R[k], p=e_p[k], v=e_v[k], v6=v6_np,
+                t=float(e_t[k]), R=e_R[k], p=e_p[k], v=e_v[k],
+                v6=v6_np[k],
                 cloud=self.scan_buf[k].copy(),
                 cloud_mask=self.scan_mask[k].copy(),
                 session=self.session,
@@ -733,19 +755,22 @@ class SlamPipeline:
         # whose fixed-capacity table got too full, dropping voxels left
         # > evict_dist of travel behind
         evicted = False
+        evict_dropped = 0
         if (cfg.map.evict_check_every > 0
                 and self.scan_count % cfg.map.evict_check_every == 0):
             occ = np.asarray(self._jit_occ_counts(self.levels))
             load = occ / np.array(cfg.map.capacities, np.float64)
             if float(load.max()) > cfg.map.evict_load:
-                self.levels = self._jit_evict(self.levels,
-                                              jnp.float32(self.jour))
+                self.levels, edrop = self._jit_evict(
+                    self.levels, jnp.float32(self.jour))
                 evicted = True
+                evict_dropped = int(np.asarray(edrop).sum())
 
         return {"phase": "odom", "ok": ok, "matches": int(matches),
                 "nnt_eig0": float(nnt_eig0), "t": t_end,
                 "ba_r0": float(r0), "ba_r1": float(r1),
-                "evicted": evicted}
+                "evicted": evicted, "hash_dropped": hash_dropped,
+                "evict_dropped": evict_dropped}
 
     def apply_correction(self, dx_R: np.ndarray, dx_p: np.ndarray,
                          g_update: bool, map_keyframes) -> None:
