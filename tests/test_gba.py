@@ -123,3 +123,52 @@ class TestBottomUp:
         # poses written back
         p_after = np.stack([sp.p for sp in lp.scan_poses[0]])
         assert np.isfinite(p_after).all()
+
+
+class TestSchedule:
+    def test_total_max_iter_changes_behavior(self, scene):
+        """The convergence-driven coarse->fine loop must consume
+        GBAConfig.total_max_iter (dead knob in r2): capping it at 2
+        rounds cannot reach the fine phase's final convergence, so the
+        optimized poses differ from the full schedule's."""
+        kfs, _ = make_keyframes(scene, 10, seed=11, perturb=0.03)
+        outs = {}
+        for tmi in (2, 8):
+            cfg = dataclasses.replace(gba_cfg(),
+                                      gba=GBAConfig(voxel_size=3.0,
+                                                    win_size=10, stride=5,
+                                                    total_max_iter=tmi))
+            hba = HbaRunner(cfg, kf_point_max=P, capacity=1 << 12,
+                            unique_max=2048)
+            outs[tmi] = hba._run_window([dataclasses.replace(k) for k in kfs],
+                                        cfg.gba.win_size)
+        ps2, ps8 = outs[2][1], outs[8][1]
+        assert not np.allclose(ps2, ps8, atol=1e-6)
+
+    def test_total_ba_hierarchical_no_cap(self, scene):
+        """More submaps than the total-BA window: the hierarchy must
+        still give EVERY submap edges (no silent truncation)."""
+        cfg = gba_cfg()
+        hba = HbaRunner(cfg, kf_point_max=P, capacity=1 << 12,
+                        unique_max=2048)
+        kfs, _ = make_keyframes(scene, 14, seed=13, perturb=0.01)
+        # hand-build 9 submaps (non-overlapping condensation for speed)
+        for i in range(0, 14, 3):
+            window = kfs[i:i + 3]
+            if len(window) < 2:
+                break
+            Rs = np.stack([k.R0 for k in window])
+            ps = np.stack([k.p0 for k in window])
+            hba.submaps.append(hba._condense(window, Rs, ps))
+        n_sub = len(hba.submaps)
+        assert n_sub > 4
+        out = hba.total_ba(max_window=4)
+        assert out is not None
+        assert out["hierarchy_rounds"] >= 1
+        # every submap's representative scan appears in some edge
+        touched = set()
+        for e in hba.edges2:
+            touched.add(e.ord_a)
+            touched.add(e.ord_b)
+        reps = {sm.scan_id for sm in hba.submaps}
+        assert reps <= touched, (reps, touched)

@@ -72,27 +72,63 @@ class HbaRunner:
 
     def _window_step(self, W: int, factor_max: int):
         """Jitted: (clouds (W,P,3), masks, Rs, ps, wmask) -> optimized
-        poses + dense Hessian, in two coarse->fine phases."""
-        coarse_cfg, fine_cfg = self._map_cfgs(W)
+        poses + dense Hessian.
 
-        def run_phase(mcfg, clouds, masks, Rs, ps, wmask, max_iter):
-            levels = vm.empty_map(mcfg)
+        Convergence-driven coarse->fine schedule (reference HBA_add_edge,
+        voxelslam.cpp:2871-2917): each outer round rebuilds the voxel map
+        at the current phase's parameters and runs a 3-iteration LM;
+        coarse GBA voxel params run until the first |r0-r1|/r0 < 5%
+        convergence, then the odometry map params take over until second
+        convergence or `GBAConfig.total_max_iter` rounds. The voxel size
+        and plane gates enter as traced scalars so one compiled while-
+        loop body serves both phases."""
+        coarse_cfg, fine_cfg = self._map_cfgs(W)
+        g = self.cfg.gba
+        total_iter = max(int(g.total_max_iter), 2)
+        CONV_THR = 0.05
+
+        def build_and_lm(vox, min_eig, thr, clouds, masks, Rs, ps, wmask):
+            lv = vm.empty_level(self._capacity, W)
             mp = jnp.arange(W, dtype=jnp.int32)
             tr = jnp.zeros((clouds.shape[1],))
             for i in range(W):
                 wld = clouds[i] @ Rs[i].T + ps[i]
-                levels = vm.insert_scan(levels, mcfg, wld, clouds[i], tr,
-                                        masks[i] * wmask[i], i)
-            levels = vm.refresh_planes(levels, mcfg, Rs, ps, mp, W)
-            factors = vm.harvest_t(levels, mcfg, mp, factor_max)
-            return opt.lm_lidar(Rs, ps, factors, wmask, max_iter=max_iter)
+                lv, _, _, _ = vm.insert_scan_level(
+                    lv, vox, self._unique_max, wld, clouds[i], tr,
+                    masks[i] * wmask[i], i, 0.0)
+            levels = vm.refresh_planes((lv,), coarse_cfg, Rs, ps, mp, W,
+                                       min_eigen_value=min_eig,
+                                       plane_thr=thr)
+            factors = vm.harvest_t(levels, coarse_cfg, mp, factor_max)
+            return opt.lm_lidar(Rs, ps, factors, wmask, max_iter=3)
 
         def step(clouds, masks, Rs, ps, wmask):
-            Rs, ps, H, r0, r1, conv = run_phase(
-                coarse_cfg, clouds, masks, Rs, ps, wmask, 2)
-            Rs, ps, H, r0b, r1b, convb = run_phase(
-                fine_cfg, clouds, masks, Rs, ps, wmask, 2)
-            return Rs, ps, H, r0, r1b
+            n6 = W * 6
+
+            def cond(c):
+                it, phase, *_ = c
+                return (it < total_iter) & (phase < 2)
+
+            def body(c):
+                it, phase, Rs, ps, H, r0_first, r1_last = c
+                fine = phase > 0
+                vox = jnp.where(fine, fine_cfg.voxel_size, g.voxel_size)
+                min_eig = jnp.where(fine, fine_cfg.min_eigen_value,
+                                    g.min_eigen_value)
+                thr = jnp.where(fine, fine_cfg.plane_thr[0],
+                                g.eigen_value_thr)
+                Rs2, ps2, H2, r0, r1, _ = build_and_lm(
+                    vox, min_eig, thr, clouds, masks, Rs, ps, wmask)
+                rel = jnp.abs(r0 - r1) / jnp.maximum(r0, 1e-12)
+                phase2 = phase + (rel < CONV_THR).astype(jnp.int32)
+                r0_first = jnp.where(it == 0, r0, r0_first)
+                return (it + 1, phase2, Rs2, ps2, H2, r0_first, r1)
+
+            H0 = jnp.zeros((n6, n6))
+            c0 = (jnp.int32(0), jnp.int32(0), Rs, ps, H0,
+                  jnp.float32(0.0), jnp.float32(0.0))
+            it, phase, Rs, ps, H, r0, r1 = jax.lax.while_loop(cond, body, c0)
+            return Rs, ps, H, r0, r1
 
         return step
 
@@ -145,7 +181,7 @@ class HbaRunner:
                     ord_a=kfs[i].scan_id, ord_b=kfs[j].scan_id,
                     R=rel_R, t=rel_p, v6=1.0 / hij))
 
-    def _condense(self, kfs, Rs, ps) -> Keyframe:
+    def _condense(self, kfs, Rs, ps, kf_index: int | None = None) -> Keyframe:
         """Merge the window into first-frame coords + downsample at
         voxel_size/8 (reference :2954-2985)."""
         P = self.kf_point_max
@@ -164,7 +200,8 @@ class HbaRunner:
                                           vs, P)
         first = kfs[0]
         return Keyframe(
-            kf_index=len(self.submaps), scan_id=first.scan_id,
+            kf_index=len(self.submaps) if kf_index is None else kf_index,
+            scan_id=first.scan_id,
             session=first.session, R0=R0, p0=p0,
             cloud=np.asarray(down), mask=np.asarray(dmask, np.float32),
             jour=first.jour)
@@ -193,16 +230,37 @@ class HbaRunner:
 
     # -- total BA over submaps ----------------------------------------------
 
-    def total_ba(self, max_submaps: int = 64):
-        """Second-level BA over all submaps (reference total_ba burst at
-        :3108-3126, run with total_max_iter + 5 threads)."""
-        subs = self.submaps[:max_submaps]
-        if len(subs) < 2:
+    def total_ba(self, max_window: int = 64):
+        """Second-level BA over ALL submaps (reference total_ba burst at
+        :3108-3126, run with total_max_iter rounds).
+
+        No silent cap: when more than `max_window` submaps exist, they
+        are recursively condensed in non-overlapping `win_size` windows
+        (each window BA'd, its edges kept) until one window covers the
+        whole level — every submap contributes edges at every level."""
+        if len(self.submaps) < 2:
             return None
-        W_pad = _next_pow2(len(subs))
-        Rs, ps, H, r0, r1 = self._run_window(subs, W_pad, factor_max=2048)
-        self._extract_edges(subs, Rs, ps, H, self.edges2)
-        return dict(r0=r0, r1=r1, n_edges=len(self.edges2))
+        g = self.cfg.gba
+        level = list(self.submaps)
+        rounds = 0
+        while len(level) > max_window:
+            nxt = []
+            for i in range(0, len(level), g.win_size):
+                window = level[i:i + g.win_size]
+                if len(window) < 2:
+                    nxt.extend(window)
+                    continue
+                Rs, ps, H, _, _ = self._run_window(
+                    window, _next_pow2(len(window)), factor_max=2048)
+                self._extract_edges(window, Rs, ps, H, self.edges2)
+                nxt.append(self._condense(window, Rs, ps, kf_index=-1))
+            level = nxt
+            rounds += 1
+        W_pad = _next_pow2(len(level))
+        Rs, ps, H, r0, r1 = self._run_window(level, W_pad, factor_max=2048)
+        self._extract_edges(level, Rs, ps, H, self.edges2)
+        return dict(r0=r0, r1=r1, n_edges=len(self.edges2),
+                    hierarchy_rounds=rounds)
 
     # -- top-down -----------------------------------------------------------
 
