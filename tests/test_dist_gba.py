@@ -1,132 +1,108 @@
 """Distributed hierarchical GBA over the virtual 8-device CPU mesh.
 
-Checks the sharded path end-to-end: window BAs sharded over axis "win",
-reduced keyframe pose system psum-reduced and solved replicated. The
-sharded result must match the single-device result (same math, only the
-reduction order differs) and iterating the step must contract the
-pose-graph chi^2.
+The production path: HbaRunner(mesh=...) batches bottom-up windows and
+runs them through parallel.dist_gba.make_window_fleet — shard_map of the
+vmapped single-device window step over axis "win". The sharded runner
+must produce the SAME submaps and edges as the single-device runner on
+the same keyframe stream (identical jitted math, only the batching
+differs), and the pose-system assembly used by the top-down solve must
+match a dense-scatter oracle.
 """
+
+import dataclasses
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
-from voxelslam_tpu.core import cluster as cl
-from voxelslam_tpu.core import so3
-from voxelslam_tpu.ba.lidar_factor import FactorBatch
-from voxelslam_tpu.parallel.dist_gba import make_gba_megastep
-
-
-def _problem(seed=0, Nw=8, W=4, F=10, stride=2):
-    """Synthetic HBA problem: keyframes on a noisy line, per-window plane
-    factors whose clusters are sampled in the TRUE local frames."""
-    rng = np.random.default_rng(seed)
-    n_kf = stride * (Nw - 1) + W
-
-    # true keyframe poses
-    Rt, pt = [], []
-    for i in range(n_kf):
-        yaw = 0.05 * i
-        Rt.append(np.array([[np.cos(yaw), -np.sin(yaw), 0],
-                            [np.sin(yaw), np.cos(yaw), 0],
-                            [0, 0, 1.0]]))
-        pt.append(np.array([0.5 * i, 0.2 * i, 1.0]))
-    Rt, pt = np.stack(Rt), np.stack(pt)
-
-    def plane_cluster(nrm, c0, Rw, pw):
-        t1 = np.cross(nrm, [1.0, 0.0, 0.13]); t1 /= np.linalg.norm(t1)
-        t2 = np.cross(nrm, t1)
-        uv = rng.uniform(-1, 1, (24, 2))
-        w = c0 + uv[:, :1] * t1 + uv[:, 1:] * t2
-        w += nrm * rng.normal(0, 0.005, (24, 1))
-        local = (w - pw) @ Rw
-        return cl.from_points(jnp.array(local, jnp.float32))
-
-    wins = []
-    for iw in range(Nw):
-        s = iw * stride
-        facs = []
-        for _ in range(F):
-            nrm = rng.normal(size=3); nrm /= np.linalg.norm(nrm)
-            c0 = pt[s] + rng.normal(0, 4, 3)
-            facs.append(jax.tree.map(
-                lambda *z: jnp.stack(z),
-                *[plane_cluster(nrm, c0, Rt[s + k], pt[s + k])
-                  for k in range(W)]))
-        wins.append(jax.tree.map(lambda *z: jnp.stack(z), *facs))
-    win = jax.tree.map(lambda *z: jnp.stack(z), *wins)
-    factors = FactorBatch(win=win, fix=cl.Cluster.empty((Nw, F)),
-                          coeff=jnp.ones((Nw, F)),
-                          valid=jnp.ones((Nw, F), bool))
-
-    # window-pose initial guesses = perturbed truth
-    Rs = np.zeros((Nw, W, 3, 3), np.float32)
-    ps = np.zeros((Nw, W, 3), np.float32)
-    for iw in range(Nw):
-        s = iw * stride
-        for k in range(W):
-            d = rng.normal(0, 0.02, 3) if k else np.zeros(3)
-            Rs[iw, k] = Rt[s + k] @ np.asarray(so3.exp(jnp.array(d, jnp.float32)))
-            ps[iw, k] = pt[s + k] + (rng.normal(0, 0.05, 3) if k else 0.0)
-    starts = jnp.arange(Nw, dtype=jnp.int32) * stride
-    kf_R = jnp.array(Rt @ np.eye(3), jnp.float32)
-    kf_p = jnp.array(pt + rng.normal(0, 0.08, pt.shape), jnp.float32)
-    return (factors, jnp.array(Rs), jnp.array(ps), starts,
-            kf_R, kf_p, Rt, pt, n_kf)
+from voxelslam_tpu.gba import HbaRunner
+from voxelslam_tpu.io import simulator as sim
+from voxelslam_tpu.loop import posegraph as pg
+from tests.test_gba import make_keyframes, gba_cfg, P
 
 
-def _run(mesh_devs, prob):
-    factors, Rs, ps, starts, kf_R, kf_p, Rt, pt, n_kf = prob
-    mesh = Mesh(np.array(mesh_devs), ("win",))
-    shard = NamedSharding(mesh, P("win"))
-    repl = NamedSharding(mesh, P())
-    args = (jax.device_put(factors, shard), jax.device_put(Rs, shard),
-            jax.device_put(ps, shard), jax.device_put(starts, shard),
-            jax.device_put(kf_R, repl), jax.device_put(kf_p, repl))
-    step = make_gba_megastep(mesh, n_kf=n_kf)
-    return step(*args)
+@pytest.fixture(scope="module")
+def scene():
+    return sim.make_scene()
 
 
-class TestDistGBA:
-    def test_sharded_matches_single_device(self):
-        prob = _problem()
+def _clone_kfs(kfs):
+    return [dataclasses.replace(k) for k in kfs]
+
+
+class TestWindowFleet:
+    def test_sharded_matches_single_device(self, scene):
+        kfs, _ = make_keyframes(scene, 25, seed=3, perturb=0.02)
         devs = jax.devices()
         assert len(devs) >= 8, "conftest should force 8 virtual devices"
-        out8 = _run(devs[:8], prob)
-        out1 = _run(devs[:1], prob)
-        np.testing.assert_allclose(np.asarray(out8[0]), np.asarray(out1[0]),
-                                   atol=5e-4)
-        np.testing.assert_allclose(np.asarray(out8[1]), np.asarray(out1[1]),
-                                   atol=5e-3)
-        assert np.isfinite(float(out8[3]))
+        mesh = Mesh(np.array(devs[:4]), ("win",))
 
-    def test_step_contracts_pose_error(self):
-        prob = _problem(seed=1)
-        factors, Rs, ps, starts, kf_R, kf_p, Rt, pt, n_kf = prob
-        devs = jax.devices()[:8]
-        mesh = Mesh(np.array(devs), ("win",))
-        shard = NamedSharding(mesh, P("win"))
-        repl = NamedSharding(mesh, P())
-        step = make_gba_megastep(mesh, n_kf=n_kf)
-        fa = jax.device_put(factors, shard)
-        Ra = jax.device_put(Rs, shard)
-        pa = jax.device_put(ps, shard)
-        sa = jax.device_put(starts, shard)
-        kR = jax.device_put(kf_R, repl)
-        kp = jax.device_put(kf_p, repl)
+        single = HbaRunner(gba_cfg(), kf_point_max=P, capacity=1 << 12,
+                           unique_max=2048)
+        sharded = HbaRunner(gba_cfg(), kf_point_max=P, capacity=1 << 12,
+                            unique_max=2048, mesh=mesh)
+        single.bottom_up(_clone_kfs(kfs))
+        sharded.bottom_up(_clone_kfs(kfs))
 
-        # anchor-relative position error (gauge: kf 0 pinned)
-        def err(kp_arr):
-            d = np.asarray(kp_arr) - np.asarray(kp_arr)[0] - (pt - pt[0])
-            return float(np.linalg.norm(d, axis=1).mean())
+        assert len(single.submaps) == len(sharded.submaps) > 1
+        assert len(single.edges1) == len(sharded.edges1) > 0
+        for e1, e2 in zip(single.edges1, sharded.edges1):
+            assert (e1.id_a, e1.id_b, e1.ord_a, e1.ord_b) == \
+                (e2.id_a, e2.id_b, e2.ord_a, e2.ord_b)
+            np.testing.assert_allclose(e1.R, e2.R, atol=2e-4)
+            np.testing.assert_allclose(e1.t, e2.t, atol=2e-3)
+            # v6 = 1/|H_ij| amplifies f32 fusion-order noise on
+            # near-zero off-diagonals; weights only need coarse parity
+            np.testing.assert_allclose(e1.v6, e2.v6, rtol=0.3)
+        for s1, s2 in zip(single.submaps, sharded.submaps):
+            np.testing.assert_allclose(s1.p0, s2.p0, atol=2e-3)
+            assert abs(float(s1.mask.sum()) - float(s2.mask.sum())) < 32
 
-        e0 = err(kp)
-        chis = []
-        for _ in range(3):
-            kR, kp, resi, chi = step(fa, Ra, pa, sa, kR, kp)
-            chis.append(float(chi))
-        e1 = err(kp)
-        assert e1 < 0.5 * e0, (e0, e1)
-        assert chis[-1] <= chis[0] * 1.01, chis
+    def test_fleet_pads_partial_batches(self, scene):
+        """A queue smaller than the fleet batch still flushes correctly
+        (padding windows discarded)."""
+        kfs, _ = make_keyframes(scene, 10, seed=5, perturb=0.01)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("win",))
+        hba = HbaRunner(gba_cfg(), kf_point_max=P, capacity=1 << 12,
+                        unique_max=2048, mesh=mesh)
+        for kf in kfs:
+            hba.add_keyframe(kf)
+        assert len(hba.submaps) == 0          # one window queued
+        out = hba.flush()
+        assert out is not None and out["flushed"] == 1
+        assert len(hba.submaps) == 1
+        assert len(hba.edges1) > 0
+
+
+class TestPoseSystemAssembly:
+    def test_matches_scatter_oracle(self):
+        """assemble_pose_system (one-hot matmul strips) must equal the
+        naive dense scatter assembly."""
+        rng = np.random.default_rng(0)
+        K, E = 12, 40
+        i_idx = rng.integers(0, K - 1, E).astype(np.int32)
+        j_idx = (i_idx + rng.integers(1, K - i_idx)).astype(np.int32)
+        r = rng.normal(0, 1, (E, 6)).astype(np.float32)
+        Ji = rng.normal(0, 1, (E, 6, 6)).astype(np.float32)
+        Jj = rng.normal(0, 1, (E, 6, 6)).astype(np.float32)
+        w6 = rng.uniform(0.1, 2.0, (E, 6)).astype(np.float32)
+
+        H, g, chi = jax.jit(
+            lambda *a: pg.assemble_pose_system(*a, K=K, chunk=16))(
+            jnp.array(i_idx), jnp.array(j_idx), jnp.array(r),
+            jnp.array(Ji), jnp.array(Jj), jnp.array(w6))
+
+        Ho = np.zeros((6 * K, 6 * K))
+        go = np.zeros(6 * K)
+        for e in range(E):
+            A = np.zeros((6, 6 * K))
+            A[:, 6 * i_idx[e]:6 * i_idx[e] + 6] = Ji[e]
+            A[:, 6 * j_idx[e]:6 * j_idx[e] + 6] = Jj[e]
+            Aw = A * w6[e][:, None]
+            Ho += Aw.T @ A
+            go += Aw.T @ r[e]
+        np.testing.assert_allclose(np.asarray(H), Ho, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(g), go, atol=1e-3)
+        assert np.isclose(float(chi), float(np.sum(w6 * r * r)), rtol=1e-5)

@@ -19,8 +19,11 @@ path (`thd_globalmapping` voxelslam.cpp:3018-3141, `HBA_add_edge`
 
 TPU structure: one window BA is one jitted step over fixed shapes
 (win x kf_point_max clouds -> tensorized voxel map -> harvested factor
-batch -> LM). Windows are independent; `voxelslam_tpu.parallel.dist_gba`
-shards them across a device mesh for multi-chip runs.
+batch -> convergence-driven coarse->fine LM). Windows are independent;
+construct `HbaRunner(cfg, mesh=...)` and the SAME window step runs
+vmapped + sharded over the mesh's "win" axis
+(`parallel.dist_gba.make_window_fleet`) — the multi-chip production
+path used by `SlamSystem` whenever >1 device is visible.
 """
 
 from __future__ import annotations
@@ -41,12 +44,25 @@ from ..pipeline.loop import Keyframe, LoopEdge
 
 class HbaRunner:
     def __init__(self, cfg: SlamConfig, kf_point_max: int = 8192,
-                 capacity: int = 1 << 13, unique_max: int = 4096):
+                 capacity: int = 1 << 13, unique_max: int = 4096,
+                 mesh=None, fleet_batch: int | None = None):
+        """mesh: optional jax.sharding.Mesh with axis "win" — bottom-up
+        windows are then batched and sharded across it
+        (parallel.dist_gba.make_window_fleet), the multi-chip production
+        path; with mesh=None each window runs as it completes
+        (single-device). Both paths run the identical window step.
+
+        fleet_batch: windows per sharded call (default: mesh size)."""
         self.cfg = cfg
         self.kf_point_max = kf_point_max
         self._capacity = capacity
         self._unique_max = unique_max
         self._step_cache = {}
+        self.mesh = mesh
+        self._fleet_batch = (fleet_batch if fleet_batch is not None
+                             else (mesh.size if mesh is not None else 1))
+        self._fleet_cache = {}
+        self._win_queue: list[list[Keyframe]] = []
         self.edges1: list[LoopEdge] = []
         self.edges2: list[LoopEdge] = []
         self.submaps: list[Keyframe] = []
@@ -138,6 +154,14 @@ class HbaRunner:
             self._step_cache[key] = jax.jit(self._window_step(W, factor_max))
         return self._step_cache[key]
 
+    def _get_fleet(self, W: int, factor_max: int):
+        from ..parallel.dist_gba import make_window_fleet
+        key = (W, factor_max)
+        if key not in self._fleet_cache:
+            self._fleet_cache[key] = make_window_fleet(
+                self.mesh, self._window_step(W, factor_max), W)
+        return self._fleet_cache[key]
+
     def _run_window(self, kfs: list[Keyframe], W_pad: int,
                     factor_max: int = 1024):
         """One window BA; returns (xs_opt list, H numpy)."""
@@ -209,24 +233,90 @@ class HbaRunner:
     # -- bottom-up ----------------------------------------------------------
 
     def add_keyframe(self, kf: Keyframe):
-        """Stream one keyframe; runs a window BA whenever `win` have
+        """Stream one keyframe; a window BA is due whenever `win` have
         accumulated (stride `stride`), mirroring thd_globalmapping's
-        continuous consumption (:3066-3096)."""
+        continuous consumption (:3066-3096). Single-device: the window
+        runs immediately. With a mesh: windows queue and run
+        `fleet_batch` at a time, sharded over axis "win"."""
         g = self.cfg.gba
         self._pending.append(kf)
         if len(self._pending) < g.win_size:
             return None
         window = self._pending[:g.win_size]
         self._pending = self._pending[g.stride:]
+        if self.mesh is not None:
+            self._win_queue.append(window)
+            if len(self._win_queue) >= self._fleet_batch:
+                return self._flush_windows()
+            return dict(queued=len(self._win_queue))
         Rs, ps, H, r0, r1 = self._run_window(window, g.win_size)
         self._extract_edges(window, Rs, ps, H, self.edges1)
         self.submaps.append(self._condense(window, Rs, ps))
         return dict(r0=r0, r1=r1, n_edges=len(self.edges1),
                     n_submaps=len(self.submaps))
 
+    def _flush_windows(self):
+        """Run all queued windows through the sharded fleet (padding the
+        batch to a mesh-size multiple by repeating the first window;
+        padded results are discarded)."""
+        if not self._win_queue:
+            return None
+        g = self.cfg.gba
+        W = g.win_size
+        Pm = self.kf_point_max
+        D = self.mesh.size if self.mesh is not None else 1
+        queue, self._win_queue = self._win_queue, []
+        n_real = len(queue)
+        n_pad = (-n_real) % max(self._fleet_batch, D)
+        batch = queue + [queue[0]] * n_pad
+        Nb = len(batch)
+
+        clouds = np.zeros((Nb, W, Pm, 3), np.float32)
+        masks = np.zeros((Nb, W, Pm), np.float32)
+        Rs = np.tile(np.eye(3, dtype=np.float32), (Nb, W, 1, 1))
+        ps = np.zeros((Nb, W, 3), np.float32)
+        wmask = np.ones((Nb, W), np.float32)
+        for b, window in enumerate(batch):
+            for i, kf in enumerate(window):
+                m = min(kf.cloud.shape[0], Pm)
+                clouds[b, i, :m] = kf.cloud[:m]
+                masks[b, i, :m] = kf.mask[:m]
+                Rs[b, i] = kf.R0
+                ps[b, i] = kf.p0
+        fleet = self._get_fleet(W, 1024)
+        (Rs2, ps2, rel_R, rel_p, v6, evalid, r0, r1) = fleet(
+            jnp.array(clouds), jnp.array(masks), jnp.array(Rs),
+            jnp.array(ps), jnp.array(wmask))
+        Rs2 = np.asarray(Rs2, np.float64)
+        ps2 = np.asarray(ps2, np.float64)
+        rel_R = np.asarray(rel_R, np.float64)
+        rel_p = np.asarray(rel_p, np.float64)
+        v6 = np.asarray(v6, np.float64)
+        evalid = np.asarray(evalid)
+        pi, pj = np.triu_indices(W, 1)
+        for b, window in enumerate(queue):
+            for m in range(len(pi)):
+                if not evalid[b, m]:
+                    continue
+                a, c = window[pi[m]], window[pj[m]]
+                self.edges1.append(LoopEdge(
+                    id_a=a.session, id_b=c.session,
+                    ord_a=a.scan_id, ord_b=c.scan_id,
+                    R=rel_R[b, m], t=rel_p[b, m], v6=v6[b, m]))
+            self.submaps.append(self._condense(window, Rs2[b], ps2[b]))
+        return dict(flushed=n_real, r0=float(np.asarray(r0)[0]),
+                    r1=float(np.asarray(r1)[0]),
+                    n_edges=len(self.edges1),
+                    n_submaps=len(self.submaps))
+
+    def flush(self):
+        """Run any queued windows (end of stream / finish)."""
+        return self._flush_windows()
+
     def bottom_up(self, keyframes):
         for kf in keyframes:
             self.add_keyframe(kf)
+        self.flush()
 
     # -- total BA over submaps ----------------------------------------------
 

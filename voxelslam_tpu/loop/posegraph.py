@@ -47,6 +47,56 @@ def _edge_blocks(R, p, i_idx, j_idx, rel_R, rel_p, info):
     return jax.vmap(one)(i_idx, j_idx, rel_R, rel_p, info)
 
 
+def assemble_pose_system(i_idx, j_idx, r, Ji, Jj, w6, K: int,
+                         chunk: int = 512):
+    """Gauss-Newton normal equations H = A^T W A, g = A^T W r for a
+    between-factor graph, assembled WITHOUT element scatters.
+
+    Computed 2D-index scatter-adds serialize on TPU (~0.2 us/element);
+    instead each edge's 6x6 Jacobian blocks are lifted into a (6, 6K)
+    row strip via one-hot matmuls and reduced with ONE einsum per chunk
+    — pure MXU work. Edges are processed in `chunk`-sized slices inside
+    a lax.scan so the (chunk, 6, 6K) strip stays bounded.
+
+    i_idx/j_idx: (E,) int32; r: (E, 6); Ji/Jj: (E, 6, 6);
+    w6: (E, 6) per-residual-row weights (zero rows = dead edges).
+    Returns (H (6K, 6K), g (6K,), chi2).
+    """
+    E = i_idx.shape[0]
+    n = 6 * K
+    chunk = min(chunk, E) or 1
+    pad = (-E) % chunk
+    dt = Ji.dtype
+    if pad:
+        zi = jnp.zeros((pad,), i_idx.dtype)
+        i_idx = jnp.concatenate([i_idx, zi])
+        j_idx = jnp.concatenate([j_idx, zi])
+        r = jnp.concatenate([r, jnp.zeros((pad, 6), dt)])
+        Ji = jnp.concatenate([Ji, jnp.zeros((pad, 6, 6), dt)])
+        Jj = jnp.concatenate([Jj, jnp.zeros((pad, 6, 6), dt)])
+        w6 = jnp.concatenate([w6, jnp.zeros((pad, 6), dt)])
+    nc = (E + pad) // chunk
+    ch = lambda a: a.reshape((nc, chunk) + a.shape[1:])
+
+    def body(c, args):
+        H, g = c
+        ii, jj, rr, JI, JJ, ww = args
+        O_i = jax.nn.one_hot(ii, K, dtype=dt)              # (c, K)
+        O_j = jax.nn.one_hot(jj, K, dtype=dt)
+        A = (jnp.einsum("ek,erb->erkb", O_i, JI)
+             + jnp.einsum("ek,erb->erkb", O_j, JJ)).reshape(-1, 6, n)
+        Aw = A * ww[:, :, None]
+        H = H + jnp.einsum("erm,ern->mn", Aw, A)
+        g = g + jnp.einsum("erm,er->m", Aw, rr)
+        return (H, g), None
+
+    (H, g), _ = jax.lax.scan(
+        body, (jnp.zeros((n, n), dt), jnp.zeros((n,), dt)),
+        (ch(i_idx), ch(j_idx), ch(r), ch(Ji), ch(Jj), ch(w6)))
+    chi = jnp.sum(w6 * r * r)
+    return H, g, chi
+
+
 def solve_pose_graph(R, p, i_idx, j_idx, rel_R, rel_p, info,
                      edge_mask=None, iters: int = 5, damping: float = 1e-6,
                      fix_first: bool = True):
@@ -63,24 +113,7 @@ def solve_pose_graph(R, p, i_idx, j_idx, rel_R, rel_p, info,
         R, p = carry
         r, Ji, Jj = _edge_blocks(R, p, i_idx, j_idx, rel_R, rel_p, info)
         w6 = info * w_edge[:, None]
-        H = jnp.zeros((6 * K, 6 * K))
-        g = jnp.zeros((6 * K,))
-        offs = jnp.arange(6)
-        rows_i = (i_idx * 6)[:, None] + offs[None, :]
-        rows_j = (j_idx * 6)[:, None] + offs[None, :]
-        JwI = Ji * w6[:, :, None]
-        JwJ = Jj * w6[:, :, None]
-        H = H.at[rows_i[:, :, None], rows_i[:, None, :]].add(
-            jnp.einsum("eri,erj->eij", Ji, JwI))
-        H = H.at[rows_i[:, :, None], rows_j[:, None, :]].add(
-            jnp.einsum("eri,erj->eij", Ji, JwJ))
-        H = H.at[rows_j[:, :, None], rows_i[:, None, :]].add(
-            jnp.einsum("eri,erj->eij", Jj, JwI))
-        H = H.at[rows_j[:, :, None], rows_j[:, None, :]].add(
-            jnp.einsum("eri,erj->eij", Jj, JwJ))
-        g = g.at[rows_i].add(jnp.einsum("eri,er->ei", JwI, r))
-        g = g.at[rows_j].add(jnp.einsum("eri,er->ei", JwJ, r))
-        chi = jnp.sum(w6 * r * r)
+        H, g, chi = assemble_pose_system(i_idx, j_idx, r, Ji, Jj, w6, K)
 
         if fix_first:
             H = H.at[:6, :].set(0.0).at[:, :6].set(0.0)

@@ -59,7 +59,10 @@ class SlamSystem:
         self.gba = None
         if enable_gba and enable_loop:
             from ..gba.hba import HbaRunner
-            self.gba = HbaRunner(cfg)
+            from ..parallel.dist_gba import default_mesh
+            # multi-device host: shard bottom-up GBA windows over the
+            # mesh (production distributed path); single chip: inline
+            self.gba = HbaRunner(cfg, mesh=default_mesh())
         self._gba_consumed: dict[int, int] = {}
         self._emitted = 0
         self._session = 0
@@ -132,6 +135,7 @@ class SlamSystem:
                 self.loop.push(sp)
         if self.gba is not None and (run_gba is None or run_gba):
             self._drain_keyframes_to_gba()
+            self.gba.flush()     # sharded path: run any queued windows
             self.gba.total_ba()
             if self.gba.edges1 or self.gba.edges2:
                 self.gba.top_down(self.loop)
