@@ -120,3 +120,65 @@ def test_e2e_odometry_ate():
     assert ate < 0.10, f"ATE {ate:.3f} m"
     # trajectory actually moved
     assert np.linalg.norm(gt[-1] - gt[0]) > 1.0
+
+
+@pytest.mark.slow
+def test_g_update_relocalization_reestimates_gravity():
+    """A g_update loop correction must re-optimize gravity jointly with
+    the window (reference LI_BA_OptimizerGravity at g_update==2,
+    voxelslam.cpp:1956-1965), not merely rotate it: a corrupted gravity
+    estimate is pulled back toward truth by the reloc BA."""
+    import jax.numpy as jnp
+    from voxelslam_tpu.core import so3
+
+    pipe, traj, gts = run_sequence(duration=3.0)
+    assert pipe.init_done
+    g_true = np.asarray(pipe.win.g[0])          # aligned: ~[0, 0, -9.81]
+
+    def ang(a, b):
+        c = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        return np.degrees(np.arccos(np.clip(c, -1, 1)))
+
+    Rp = np.asarray(so3.exp(jnp.array([0.06, 0.0, 0.0])))
+    g_bad = Rp @ g_true
+    pipe.win = dataclasses.replace(
+        pipe.win, g=jnp.broadcast_to(jnp.array(g_bad, jnp.float32),
+                                     pipe.win.g.shape))
+    ang0 = ang(g_bad, g_true)
+    assert ang0 > 3.0
+
+    pipe.apply_correction(np.eye(3), np.zeros(3), g_update=True,
+                          map_keyframes=[])
+    g_new = np.asarray(pipe._gravity)
+    ang1 = ang(g_new, g_true)
+    assert np.isfinite(g_new).all()
+    assert 9.4 < np.linalg.norm(g_new) < 10.2
+    # re-estimated, not just rotated: the corruption shrinks
+    assert ang1 < 0.7 * ang0, (ang0, ang1)
+
+
+@pytest.mark.slow
+def test_e2e_mgsize2_per_scan_v6():
+    """lba.mgsize=2: two scans marginalized per slide, each carrying its
+    OWN Hessian-derived v6 (reference per-frame blocks,
+    voxelslam.cpp:1974-1980) — previously untested and shared."""
+    cfg = dataclasses.replace(e2e_config(),
+                              lba=LocalBAConfig(factor_max=256, mgsize=2))
+    pipe, traj, gts = run_sequence(duration=4.0, cfg=cfg)
+    poses = pipe.scan_poses
+    assert len(poses) > 12
+    est = np.stack([sp.p for sp in poses])
+    gt = np.stack([traj.state_at(sp.t)[1] for sp in poses])
+    ate = ate_rmse(est, gt)
+    assert ate < 0.15, f"ATE {ate:.3f} m"
+    # steady-phase emissions come in pairs sharing one BA burst; the two
+    # frames of a pair must carry different v6 (per-frame blocks). Skip
+    # the init-phase emissions (first W) and the flush tail (ones).
+    W = cfg.lba.win_size
+    pairs = 0
+    for a, b in zip(poses[W:-W:2], poses[W + 1:-W:2]):
+        if np.allclose(a.v6, 1.0) or np.allclose(b.v6, 1.0):
+            continue
+        assert not np.allclose(a.v6, b.v6), (a.v6, b.v6)
+        pairs += 1
+    assert pairs > 2

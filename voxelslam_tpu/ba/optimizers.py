@@ -89,6 +89,10 @@ def lm_lidar(Rs, ps, factors: lf.FactorBatch, win_mask, max_iter: int = 3,
     def body(c):
         it, u, v, Rs, ps, H, g, r1, conv = c
         Hf, gf = _gauge_fix(H, g, 6)
+        # dead frames (win_mask 0, e.g. padded HBA windows) have zero
+        # rows -> pin them with identity so the solve stays regular and
+        # their update is exactly zero
+        Hf = Hf + jnp.diag(jnp.repeat(1.0 - win_mask, 6))
         D = jnp.diag(jnp.diag(Hf))
         dx = _solve_scaled(Hf + u * D, gf)
         dxw = dx.reshape(W, 6)
@@ -138,10 +142,12 @@ def _block_place(blocks: jnp.ndarray, mask2d: jnp.ndarray, W: int) -> jnp.ndarra
 
 
 def _imu_terms(states: NavState, preints: pre.Preint, imu_coef,
-               with_gravity, Winv=None):
+               with_gravity, Winv=None, pair_mask=None):
     """Stacked IMU factor contributions. states: batched (W,); preints:
     batched (W-1,). Returns (H, g, chi) in the (15W [+3]) layout.
-    Winv: optional (W-1, 15, 15) precomputed covariance inverses."""
+    Winv: optional (W-1, 15, 15) precomputed covariance inverses.
+    pair_mask: optional (W-1,) 0/1 — zero rows drop that preintegration
+    pair (partial windows, e.g. post-loop relocalization)."""
     W = states.t.shape[0]
     n = W * DIM + (3 if with_gravity else 0)
 
@@ -152,6 +158,10 @@ def _imu_terms(states: NavState, preints: pre.Preint, imu_coef,
     ev = jax.vmap(
         lambda p, a, b, w: pre.evaluate_closed(p, a, b, with_gravity, w))
     chi, jtj, gg = ev(preints, st1, st2, Winv)
+    if pair_mask is not None:
+        chi = chi * pair_mask
+        jtj = jtj * pair_mask[:, None, None]
+        gg = gg * pair_mask[:, None]
 
     # scatter-free assembly of the block-tridiagonal chain: quadrants of
     # each pair's (30, 30) block placed by eye/off-diagonal masks
@@ -211,12 +221,12 @@ def _gravity_prior(g_vec, weight):
 
 
 def _li_eval(states: NavState, factors, preints, win_mask, imu_coef,
-             with_gravity, g_prior_w=0.0, Winv=None):
+             with_gravity, g_prior_w=0.0, Winv=None, pair_mask=None):
     """Full residual + Hessian/gradient in the 15W [+3] layout."""
     W = states.t.shape[0]
     n = W * DIM + (3 if with_gravity else 0)
     H_imu, g_imu, r_imu = _imu_terms(states, preints, imu_coef,
-                                     with_gravity, Winv)
+                                     with_gravity, Winv, pair_mask)
 
     Hl, gl = lf.hess_grad_ct_t(factors, states.R, states.p, win_mask)
     rl = lf.cost_t(factors, states.R, states.p, win_mask)
@@ -238,13 +248,15 @@ def _li_eval(states: NavState, factors, preints, win_mask, imu_coef,
 
 
 def _li_residual(states, factors, preints, win_mask, imu_coef,
-                 g_prior_w=0.0, Winv=None):
+                 g_prior_w=0.0, Winv=None, pair_mask=None):
     W = states.t.shape[0]
     st1 = states[slice(0, W - 1)]
     st2 = states[slice(1, W)]
     if Winv is None:
         Winv = jax.vmap(pre.cov_inv)(preints)
     chi = jax.vmap(pre.chi2)(preints, st1, st2, Winv)
+    if pair_mask is not None:
+        chi = chi * pair_mask
     rl = lf.cost_t(factors, states.R, states.p, win_mask)
     r = jnp.sum(chi) * imu_coef * 0.5 + rl
     rg = jnp.linalg.norm(states.g[0]) - GRAVITY_NORM
@@ -254,9 +266,14 @@ def _li_residual(states, factors, preints, win_mask, imu_coef,
 def lm_li(states: NavState, factors: lf.FactorBatch, preints: pre.Preint,
           win_mask, imu_coef: float = 1e-4, max_iter: int = 3,
           u0: float = 0.01, with_gravity: bool = False,
-          g_prior_w: float = 0.0):
+          g_prior_w: float = 0.0, pair_mask=None):
     """LiDAR-inertial windowed LM. states: batched NavState (W,);
-    preints: batched Preint (W-1,). Returns (states, H, r0, r1, conv)."""
+    preints: batched Preint (W-1,). Returns (states, H, r0, r1, conv).
+
+    pair_mask: optional (W-1,) 0/1 dropping IMU pairs of dead frames
+    (partial windows); dead frames (win_mask 0 AND both pairs dead) get
+    an identity diagonal so the damped solve stays non-singular and
+    their update is exactly zero."""
     W = states.t.shape[0]
     n = W * DIM + (3 if with_gravity else 0)
 
@@ -268,17 +285,22 @@ def lm_li(states: NavState, factors: lf.FactorBatch, preints: pre.Preint,
     if isinstance(factors, lf.FactorBatch):
         factors = lf.transpose_factors(factors)
     H0, g0, r0 = _li_eval(states, factors, preints, win_mask, imu_coef,
-                          with_gravity, g_prior_w, Winv)
+                          with_gravity, g_prior_w, Winv, pair_mask)
+    dead_diag = jnp.zeros((n,))
+    if pair_mask is not None:
+        dead_diag = dead_diag.at[:W * DIM].set(
+            jnp.repeat(1.0 - win_mask, DIM))
 
     def body(c):
         it, u, v, states, H, g, r1, conv = c
         Hf, gf = _gauge_fix(H, g, DIM)
+        Hf = Hf + jnp.diag(dead_diag)
         D = jnp.diag(jnp.diag(Hf))
         dx = _solve_scaled(Hf + u * D, gf)
         st_n = _apply_dx(states, dx, with_gravity)
         q1 = 0.5 * jnp.dot(dx, u * (D @ dx) - gf)
         r2 = _li_residual(st_n, factors, preints, win_mask, imu_coef,
-                          g_prior_w, Winv)
+                          g_prior_w, Winv, pair_mask)
         q = r1 - r2
         accept = q > 0
         rho = q / jnp.maximum(q1, 1e-20)
@@ -287,7 +309,7 @@ def lm_li(states: NavState, factors: lf.FactorBatch, preints: pre.Preint,
         states = jax.tree.map(
             lambda a, b: jnp.where(accept, a, b), st_n, states)
         H_n, g_n, _ = _li_eval(states, factors, preints, win_mask, imu_coef,
-                               with_gravity, g_prior_w, Winv)
+                               with_gravity, g_prior_w, Winv, pair_mask)
         H = jnp.where(accept, H_n, H)
         g = jnp.where(accept, g_n, g)
         r1_n = jnp.where(accept, r2, r1)
@@ -307,6 +329,7 @@ def lm_li(states: NavState, factors: lf.FactorBatch, preints: pre.Preint,
 
 def lm_li_gravity(states, factors, preints, win_mask, imu_coef=1e-4,
                   max_iter: int = 3, u0: float = 0.01,
-                  g_prior_w: float = 0.0):
+                  g_prior_w: float = 0.0, pair_mask=None):
     return lm_li(states, factors, preints, win_mask, imu_coef, max_iter, u0,
-                 with_gravity=True, g_prior_w=g_prior_w)
+                 with_gravity=True, g_prior_w=g_prior_w,
+                 pair_mask=pair_mask)

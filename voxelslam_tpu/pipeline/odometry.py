@@ -122,6 +122,7 @@ class SlamPipeline:
         self._jit_ba_slide = jax.jit(self._window_ba_slide)
         self._jit_init_round = jax.jit(self._init_round)
         self._jit_align = jax.jit(self._align_gravity)
+        self._jit_g_reloc = jax.jit(self._g_reloc)
         self._jit_integrate = jax.jit(self._integrate_preint)
         self._jit_refresh = jax.jit(self._refresh)
         self._jit_push_fixed = jax.jit(self._push_fixed)
@@ -132,6 +133,8 @@ class SlamPipeline:
             lambda levels, jour: vm.evict(levels, jour,
                                           self.cfg.map.evict_dist))
         self._jit_megastep = jax.jit(self._steady_megastep, donate_argnums=(1, 2, 4))
+        self._jit_mega_accum = jax.jit(self._mega_accum,
+                                       donate_argnums=(1, 2, 4))
 
         self.reset(session=0, hard=True)
 
@@ -292,7 +295,10 @@ class SlamPipeline:
                                          pts, offsets, pmask)
         down, dmask, var_b, tr = self._downsample_var(body, pmask)
 
-        # 2) preintegration over exactly (last_end, scan_end]
+        # 2) preintegration over exactly (last_end, scan_end].
+        # Invariant: preints[k] <-> pair (k, k+1) of the CURRENT logical
+        # window (the slide at the end of this step re-shifts); the new
+        # scan fills slot W-1, so its interval lands at pair W-2.
         g_mid = 0.5 * (gyr[:-1] + gyr[1:])
         a_mid = 0.5 * (acc[:-1] + acc[1:])
         heads = jnp.clip(imu_ts[:-1], last_end, scan_end)
@@ -302,8 +308,7 @@ class SlamPipeline:
                               x_prop.bg, x_prop.ba,
                               self.noise_meas, self.noise_walk)
         preints = jax.tree.map(
-            lambda a, b: jnp.concatenate([a[1:], b[None]], axis=0),
-            preints, p_new)
+            lambda a, b: a.at[W - 2].set(b), preints, p_new)
 
         # 3) iterated-EKF update vs the map
         st, ok, diag = iekf.iekf_update(
@@ -344,6 +349,10 @@ class SlamPipeline:
         emitted = new_win[slice(0, mg)]
         win_next = jax.tree.map(
             lambda a: jnp.concatenate([a[mg:], a[:mg]], axis=0), new_win)
+        # slide the preint pairs with the window (stale tail entries are
+        # overwritten during the next accumulate/fill scans)
+        preints = jax.tree.map(
+            lambda a: jnp.concatenate([a[mg:], a[:mg]], axis=0), preints)
         x_out = new_win[W - 1]
         # hash-overflow observability: unique keys this scan whose probe
         # chain exhausted (silently sparsified otherwise)
@@ -366,13 +375,68 @@ class SlamPipeline:
         return (x_out, levels, win_next, mp_new, preints, stats,
                 down, dmask, tr)
 
+    def _mega_accum(self, state, levels, win, mp, preints, imu_blob,
+                    scan_blob, scal, frame_idx):
+        """Window-refill scan for lba.mgsize > 1: propagate + deskew +
+        downsample + preintegrate + iEKF + push into logical slot
+        `frame_idx` + incremental refresh — NO BA/marginalize/slide (the
+        reference only optimizes when win_count reaches win_size,
+        voxelslam.cpp:1951; with mgsize>1 the window refills over
+        mgsize-1 scans between BA bursts)."""
+        cfg = self.cfg
+        imu_ts, gyr, acc, imask = (imu_blob[:, 0], imu_blob[:, 1:4],
+                                   imu_blob[:, 4:7], imu_blob[:, 7])
+        pts, offsets, pmask = (scan_blob[:, 0:3], scan_blob[:, 3],
+                               scan_blob[:, 4])
+        scan_beg, scan_end, last_end, jour = scal[0], scal[1], scal[2], scal[3]
+        levels = _pin_window_layouts(levels)
+
+        x_prop, body = self._prop_deskew(state, imu_ts, gyr, acc, imask,
+                                         scan_beg, scan_end, last_end,
+                                         pts, offsets, pmask)
+        down, dmask, var_b, tr = self._downsample_var(body, pmask)
+
+        g_mid = 0.5 * (gyr[:-1] + gyr[1:])
+        a_mid = 0.5 * (acc[:-1] + acc[1:])
+        heads = jnp.clip(imu_ts[:-1], last_end, scan_end)
+        tails = jnp.clip(imu_ts[1:], last_end, scan_end)
+        dtp = (tails - heads) * (imask[:-1] * imask[1:])
+        p_new = pre.integrate(g_mid, a_mid, dtp, imask[1:],
+                              x_prop.bg, x_prop.ba,
+                              self.noise_meas, self.noise_walk)
+        preints = jax.tree.map(
+            lambda a, b: a.at[frame_idx - 1].set(b), preints, p_new)
+
+        st, ok, diag = iekf.iekf_update(
+            x_prop, levels, cfg.map, down, var_b, dmask,
+            max_iter=cfg.odom.max_iter, degrade_eig=cfg.odom.degrade_eig)
+
+        win = jax.tree.map(lambda a, b: a.at[frame_idx].set(b), win, st)
+        wld = down @ st.R.T + st.p
+        levels, touched = vm.insert_scan_touched(
+            levels, cfg.map, wld, down, tr, dmask, mp[frame_idx], jour)
+        levels = vm.refresh_planes(levels, cfg.map, win.R, win.p, mp,
+                                   frame_idx + 1, touched=touched)
+        levels = _pin_window_layouts(levels)
+        dropped = jnp.sum(jnp.stack([t[2] for t in touched]))
+        stats = jnp.stack([ok.astype(jnp.float32),
+                           diag["matches"].astype(jnp.float32),
+                           diag["nnt_eig"][0],
+                           dropped.astype(jnp.float32)])
+        return st, levels, win, preints, stats, down, dmask, tr
+
     def _init_round(self, scans, masks, trs, states, imu_g, imu_a, imu_dt,
-                    imu_m):
+                    imu_m, min_eig, plane_thr):
         """One dynamic-init round: re-integrate preintegrations at the
         current bias estimates (reference recreates IMU_PRE each round,
-        voxelslam.cpp:728), rebuild a fresh relaxed-threshold map from the
-        window scans at current states, then LI-BA with gravity
-        (reference motion_init inner loop, voxelslam.cpp:649-731)."""
+        voxelslam.cpp:728), rebuild a fresh map from the window scans at
+        current states, then LI-BA with gravity (reference motion_init
+        inner loop, voxelslam.cpp:649-731).
+
+        min_eig / plane_thr are traced scalars: the relaxed first phase
+        and the tightened post-alignment second phase (reference
+        converge_flag==1 restores the production thresholds,
+        voxelslam.cpp:644-648) share one compiled round."""
         cfg = self.cfg
         W = cfg.lba.win_size
         preints = jax.vmap(
@@ -390,8 +454,8 @@ class SlamPipeline:
                                     masks[i], i)
         levels = vm.refresh_planes(
             levels, icfg, states.R, states.p, mp, W,
-            min_eigen_value=cfg.init.min_eigen_value,
-            plane_thr=cfg.init.plane_thr)
+            min_eigen_value=min_eig,
+            plane_thr=plane_thr)
         factors = vm.harvest_t(levels, icfg, mp, cfg.lba.factor_max)
         new_states, H, r0, r1, conv = opt.lm_li_gravity(
             states, factors, preints, jnp.ones((W,)),
@@ -429,6 +493,22 @@ class SlamPipeline:
             g=jnp.broadcast_to(target, states.g.shape),
         )
         return new
+
+    def _g_reloc(self, levels, win, preints, mp, win_count):
+        """Gravity-joint window re-optimization after a g_update loop
+        correction (reference: loop_update sets g_update=2 and the next
+        window BA runs LI_BA_OptimizerGravity with 5 iterations,
+        voxelslam.cpp:1366-1367, 1956-1965). Runs on the rebuilt map
+        with the valid window prefix; dead frames/pairs masked."""
+        cfg = self.cfg
+        W = cfg.lba.win_size
+        factors = vm.harvest_t(levels, cfg.map, mp, cfg.lba.factor_max)
+        wmask = (jnp.arange(W) < win_count).astype(jnp.float32)
+        pmask = (jnp.arange(W - 1) < win_count - 1).astype(jnp.float32)
+        new_win, H, r0, r1, conv = opt.lm_li_gravity(
+            win, factors, preints, wmask, imu_coef=cfg.lba.imu_coef,
+            max_iter=5, pair_mask=pmask)
+        return new_win, r0, r1
 
     # ------------------------------------------------------------------
     # host orchestration
@@ -558,27 +638,46 @@ class SlamPipeline:
         if self.win_count < W:
             return {"phase": "init_accum", "win": self.win_count}
 
-        # --- dynamic init (motion_init) ---
+        # --- dynamic init (motion_init, two phases) ---
+        # Phase 1 runs relaxed map thresholds; on the first within-round
+        # convergence (|r0-r1|/r0 < converge_thre, round >= 2) gravity is
+        # aligned, the production thresholds are restored and the
+        # convergence gate tightens to 0.01; iteration continues to a
+        # second convergence or max_rounds (reference motion_init,
+        # voxelslam.cpp:619-767).
         states = self.win
         scans = jnp.array(self.scan_buf)
         masks = jnp.array(self.scan_mask)
         trs = jnp.array(self.scan_tr)
         imu_bufs = (jnp.array(self.imu_buf_g), jnp.array(self.imu_buf_a),
                     jnp.array(self.imu_buf_dt), jnp.array(self.imu_buf_m))
-        last_r = None
         ev0 = 0.0
+        aligned = False
+        conv_thr = cfg.init.converge_thre
         for rnd in range(cfg.init.max_rounds):
-            states, r0, r1, ev0 = self._jit_init_round(
-                scans, masks, trs, states, *imu_bufs)
-            r1 = float(r1)
-            if last_r is not None and abs(last_r - r1) / max(last_r, 1e-9) \
-                    < cfg.init.converge_thre:
+            if aligned:
+                min_eig = cfg.map.min_eigen_value
+                thr = cfg.map.plane_thr[0]
+            else:
+                min_eig = cfg.init.min_eigen_value
+                thr = cfg.init.plane_thr
+            states, r0, r1, ev = self._jit_init_round(
+                scans, masks, trs, states, *imu_bufs,
+                jnp.float32(min_eig), jnp.float32(thr))
+            r0, r1 = float(r0), float(r1)
+            if abs(r0 - r1) / max(r0, 1e-9) < conv_thr and rnd >= 2:
+                ev0 = float(ev)
+                if not aligned:
+                    states = self._jit_align(states)
+                    aligned = True
+                    conv_thr = 0.01
+                    continue
                 break
-            last_r = r1
 
-        states = self._jit_align(states)
+        if not aligned:   # never converged: align for the gate check only
+            states = self._jit_align(states)
         g_norm = float(jnp.linalg.norm(states.g[0]))
-        ok = (float(ev0) >= cfg.init.degeneracy_eig
+        ok = (aligned and float(ev0) >= cfg.init.degeneracy_eig
               and cfg.init.gravity_norm_lo <= g_norm
               <= cfg.init.gravity_norm_hi)
         if not ok:
@@ -606,8 +705,15 @@ class SlamPipeline:
                 jnp.array(self.imu_buf_dt[i]), jnp.array(self.imu_buf_m[i]),
                 states.bg[i - 1], states.ba[i - 1]))
         self.init_done = True
-        self.preints_dev = _stack(self._preint_list)
         r0, r1 = self._do_ba_slide()
+        # post-slide preint pairs for the fused steady path (invariant:
+        # entry k <-> current pair (k, k+1); the stale tail entries are
+        # overwritten by the accumulate/fill scans before any BA reads
+        # them)
+        plist = list(self._preint_list)
+        while len(plist) < W - 1:
+            plist.append(plist[-1])
+        self.preints_dev = _stack(plist[:W - 1])
         return {"phase": "init_done", "g_norm": g_norm, "ev0": float(ev0),
                 "ba_r0": r0, "ba_r1": r1}
 
@@ -670,6 +776,16 @@ class SlamPipeline:
         scan_blob = jnp.array(np.concatenate(
             [pts_j, off_j[:, None], pmask[:, None]], axis=1, dtype=np.float32))
         scal = jnp.array([t_beg, t_end, last_end, self.jour], jnp.float32)
+
+        if mg > 1:
+            # the refill decision needs an up-to-date win_count
+            out_pending = self._flush_pending()
+            if out_pending is not None and out_pending.get("phase") == "reset":
+                return out_pending
+            if self.win_count < W - 1:
+                return self._process_steady_accum(imu_blob, scan_blob,
+                                                  scal, t_end)
+
         (x_out, levels, win_next, mp_new, preints, stats,
          down, dmask, tr) = self._jit_megastep(
             self.x, self.levels, self.win, self.mp, self.preints_dev,
@@ -693,6 +809,37 @@ class SlamPipeline:
         if out is None:
             out = {"phase": "odom", "pending": True, "t": t_end}
         return out
+
+    def _process_steady_accum(self, imu_blob, scan_blob, scal, t_end):
+        """Window-refill scan (lba.mgsize > 1, win_count < W-1): one
+        fused accumulate call, stats fetched synchronously (no BA, no
+        emission — the refill scans between BA bursts)."""
+        cfg = self.cfg
+        i = self.win_count
+        (x_out, levels, win, preints, stats, down, dmask, tr) = \
+            self._jit_mega_accum(self.x, self.levels, self.win, self.mp,
+                                 self.preints_dev, imu_blob, scan_blob,
+                                 scal, jnp.int32(i))
+        self.x = x_out
+        self.levels = levels
+        self.win = win
+        self.preints_dev = preints
+        self.scan_count += 1
+        if self.collect_clouds:
+            self.scan_buf[i] = np.asarray(down)
+            self.scan_mask[i] = np.asarray(dmask)
+            self.scan_tr[i] = np.asarray(tr)
+        self.win_count = i + 1
+        st = np.asarray(stats)
+        ok = bool(st[0] > 0)
+        self.degrade_cnt = max(0, self.degrade_cnt - 1) if ok \
+            else self.degrade_cnt + 1
+        if self.degrade_cnt > cfg.odom.degrade_bound:
+            self.reset(session=self.session + 1)
+            return {"phase": "reset", "session": self.session}
+        return {"phase": "odom", "ok": ok, "matches": int(st[1]),
+                "nnt_eig0": float(st[2]), "t": t_end, "accum": True,
+                "hash_dropped": int(st[3])}
 
     def _flush_pending(self):
         """Force emission of the deferred scan's stats (if any)."""
@@ -816,6 +963,31 @@ class SlamPipeline:
                 self.mp[i], self.jour)
         self.levels = self._jit_refresh(self.levels, win, self.mp,
                                         jnp.int32(nvalid))
+
+        # gravity-joint relocalization: when the correction came from a
+        # cross-session first contact (g_update), re-optimize the window
+        # WITH the shared gravity column on the rebuilt map instead of
+        # only rotating g (reference LI_BA_OptimizerGravity at
+        # g_update==2, voxelslam.cpp:1956-1965)
+        if g_update and self.init_done and nvalid >= 2 \
+                and getattr(self, "preints_dev", None) is not None:
+            # preints_dev invariant: entry k <-> current pair (k, k+1);
+            # stale tail entries (>= nvalid-1) masked inside _g_reloc
+            new_win, r0, r1 = self._jit_g_reloc(
+                self.levels, win, self.preints_dev, self.mp,
+                jnp.int32(nvalid))
+            sel = jnp.arange(W) < nvalid
+            win = jax.tree.map(
+                lambda a, b: jnp.where(
+                    sel.reshape((-1,) + (1,) * (a.ndim - 1)), a, b),
+                new_win, win)
+            win = dataclasses.replace(
+                win, g=jnp.broadcast_to(new_win.g[0], win.g.shape))
+            self.win = win
+            self._gravity = new_win.g[0]
+            self.levels = self._jit_refresh(self.levels, win, self.mp,
+                                            jnp.int32(nvalid))
+
         self.x = dataclasses.replace(
             win[max(nvalid - 1, 0)], cov=self.x.cov,
             t=self.x.t, bg=self.x.bg, ba=self.x.ba)
