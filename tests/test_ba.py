@@ -1,6 +1,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -206,6 +207,7 @@ class TestLMLI:
                             valid=jnp.ones(F, bool))
         return states, preints, fb
 
+    @pytest.mark.slow
     def test_li_reduces_residual_and_error(self, rng):
         W = 5
         states, preints, fb = self._window(rng, W)
@@ -221,6 +223,7 @@ class TestLMLI:
         p_err_after = np.linalg.norm(np.asarray(out.p - states.p), axis=-1).max()
         assert p_err_after < 0.5 * p_err_before, (p_err_before, p_err_after)
 
+    @pytest.mark.slow
     def test_li_gravity_variant_runs(self, rng):
         W = 4
         states, preints, fb = self._window(rng, W)

@@ -33,6 +33,7 @@ def _clone_kfs(kfs):
 
 
 class TestWindowFleet:
+    @pytest.mark.slow
     def test_sharded_matches_single_device(self, scene):
         kfs, _ = make_keyframes(scene, 25, seed=3, perturb=0.02)
         devs = jax.devices()
@@ -60,6 +61,7 @@ class TestWindowFleet:
             np.testing.assert_allclose(s1.p0, s2.p0, atol=2e-3)
             assert abs(float(s1.mask.sum()) - float(s2.mask.sum())) < 32
 
+    @pytest.mark.slow
     def test_fleet_pads_partial_batches(self, scene):
         """A queue smaller than the fleet batch still flushes correctly
         (padding windows discarded)."""

@@ -10,6 +10,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -59,6 +60,7 @@ def test_hess_grad_ct_t_matches_f_major(rng):
     assert abs(r0 - r1) < 1e-3 * abs(r0)
 
 
+@pytest.mark.slow
 def test_harvest_t_matches_transposed_harvest(rng):
     cfg = MapConfig(capacities=(1 << 10, 1 << 10, 1 << 11),
                     unique_max=(512, 512, 1024))
@@ -95,6 +97,7 @@ def _rand_state(rng):
         g=jnp.array((rng.normal(0, 0.1, 3) + [0, 0, -9.8]).astype(np.float32)))
 
 
+@pytest.mark.slow
 def test_imu_jacobian_closed_matches_jacfwd(rng):
     nm = jnp.eye(6) * 0.1
     for _ in range(3):

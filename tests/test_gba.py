@@ -98,6 +98,7 @@ class TestBottomUp:
         sm = hba.submaps[0]
         assert sm.mask.sum() > 100
 
+    @pytest.mark.slow
     def test_total_ba_and_top_down(self, scene):
         cfg = gba_cfg()
         hba = HbaRunner(cfg, kf_point_max=P, capacity=1 << 12,
@@ -126,6 +127,7 @@ class TestBottomUp:
 
 
 class TestSchedule:
+    @pytest.mark.slow
     def test_total_max_iter_changes_behavior(self, scene):
         """The convergence-driven coarse->fine loop must consume
         GBAConfig.total_max_iter (dead knob in r2): capping it at 2
@@ -145,6 +147,7 @@ class TestSchedule:
         ps2, ps8 = outs[2][1], outs[8][1]
         assert not np.allclose(ps2, ps8, atol=1e-6)
 
+    @pytest.mark.slow
     def test_total_ba_hierarchical_no_cap(self, scene):
         """More submaps than the total-BA window: the hierarchy must
         still give EVERY submap edges (no silent truncation)."""

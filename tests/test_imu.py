@@ -1,6 +1,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -37,6 +38,7 @@ NOISE_WALK = jnp.eye(6) * 1e-6
 
 
 class TestPreintegration:
+    @pytest.mark.slow
     def test_residual_zero_on_truth(self):
         traj = sim.make_trajectory(duration=1.0)
         ts, gyr, acc = sim.imu_stream(traj, rate=400.0, t0=0.2, t1=0.5)
@@ -51,6 +53,7 @@ class TestPreintegration:
         assert np.abs(r[3:6]).max() < 2e-3, r[3:6]   # position
         assert np.abs(r[6:9]).max() < 2e-3, r[6:9]   # velocity
 
+    @pytest.mark.slow
     def test_mask_padding_noop(self):
         traj = sim.make_trajectory(duration=1.0)
         ts, gyr, acc = sim.imu_stream(traj, rate=200.0, t0=0.0, t1=0.3)
@@ -148,6 +151,7 @@ class TestPreintegration:
         np.testing.assert_allclose(np.asarray(m.cov), np.asarray(full.cov),
                                    atol=1e-6, rtol=0.01)
 
+    @pytest.mark.slow
     def test_evaluate_jacobian_matches_fd(self):
         traj = sim.make_trajectory(duration=1.0)
         ts, gyr, acc = sim.imu_stream(traj, rate=200.0, t0=0.2, t1=0.45)

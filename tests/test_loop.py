@@ -57,6 +57,7 @@ def two_visits(scene):
 
 
 class TestBtc:
+    @pytest.mark.slow
     def test_descriptors_extracted(self, two_visits):
         (cA, mA, _, _), _ = two_visits
         d = extract(jnp.array(cA), jnp.array(mA), BtcConfig())
@@ -101,6 +102,7 @@ class TestBtc:
 
 
 class TestIcp:
+    @pytest.mark.slow
     def test_refines_coarse_transform(self, two_visits):
         (cA, mA, RA, pA), (cB, mB, RB, pB) = two_visits
         R_t = RA.T @ RB

@@ -157,3 +157,55 @@ def test_iter_dataset_native_and_python_agree(tmp_path):
         np.testing.assert_allclose(a["scan"]["points"], b["scan"]["points"],
                                    atol=1e-5)
         np.testing.assert_allclose(a["imu_ts"], b["imu_ts"])
+
+
+def test_btcdb_native_matches_python():
+    """Native descriptor DB (btcdb.cpp) must reproduce the Python dict
+    implementation: same candidates, votes, and kept pairs."""
+    from voxelslam_tpu import native
+    from voxelslam_tpu.loop.btc import BtcConfig, DescriptorDB
+
+    if not (native.available()
+            and hasattr(native.get_lib(), "vs_btcdb_new")):
+        import pytest
+        pytest.skip("native toolchain unavailable")
+
+    cfg = BtcConfig()
+    rng = np.random.default_rng(0)
+
+    def make_desc(seed, n=120):
+        r = np.random.default_rng(seed)
+        sides = np.sort(r.uniform(2.0, 30.0, (n, 3)), axis=-1).astype(
+            np.float32)
+        binary = (r.random((n, 3, cfg.height_slices)) > 0.5).astype(
+            np.float32)
+        valid = r.random(n) > 0.2
+        return dict(sides=sides, binary=binary, tri_valid=valid)
+
+    py = DescriptorDB(cfg, use_native=False)
+    nat = DescriptorDB(cfg, use_native=True)
+    assert nat._nat is not None
+    frames = {}
+    for f in range(6):
+        d = make_desc(f)
+        # make frames 2 and 4 share many triangles with the query
+        if f in (2, 4):
+            q = make_desc(99)
+            take = slice(0, 60)
+            d["sides"][take] = q["sides"][take] + rng.normal(
+                0, 0.02, (60, 3)).astype(np.float32)
+            d["binary"][take] = q["binary"][take]
+            d["tri_valid"][take] = True
+        frames[f] = d
+        py.add(f, d)
+        nat.add(f, d)
+
+    query = make_desc(99)
+    for skip, cur in ((1, 5), (-1, 1 << 30)):
+        out_py = py.search(query, skip_near=skip, current_frame=cur)
+        out_nat = nat.search(query, skip_near=skip, current_frame=cur)
+        assert [(f, v) for f, v, _ in out_py] == \
+            [(f, v) for f, v, _ in out_nat]
+        for (_, _, kp), (_, _, kn) in zip(out_py, out_nat):
+            assert set(kp) == set(kn)
+            assert len(kp) == len(kn)

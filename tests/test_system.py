@@ -43,6 +43,7 @@ def scan_cloud(scene, p, R, seed):
     return out, m
 
 
+@pytest.mark.slow
 def test_loop_pipeline_corrects_drift(scene):
     """Out-and-back trajectory with linearly injected drift: the loop
     pipeline must detect the revisit and its pose-graph burst must

@@ -282,3 +282,69 @@ def test_insert_reports_dropped_keys():
     assert int(dropped) > 0
     # stored + dropped accounts for every unique key that was attempted
     assert int(jnp.sum(sv)) + int(dropped) > 16
+
+
+class TestAnisotropicNoise:
+    """Plane-gate noise uses the variance ALONG THE NORMAL from the
+    rank-1 + isotropic per-voxel accumulator (reference Bf_var /
+    plane_update propagate full per-point covariances,
+    voxel_map.hpp:106-121,1344-1388; see voxel_map module docstring for
+    the compression)."""
+
+    def _insert_plane(self, rng, dirs_along_normal: bool):
+        import dataclasses as dc
+        cfg = small_test_config().map
+        dept, beam, dist = 0.01, 0.05, 10.0   # beam*d = 0.5 >> dept
+        levels = vm.empty_map(cfg)
+        Rs, ps, mp = _identity_window(cfg.win_size)
+        n = 400
+        pts = np.stack([rng.uniform(0, 0.9, n), rng.uniform(0, 0.9, n),
+                        rng.normal(0.5, 0.001, n)], -1).astype(np.float32)
+        pts = jnp.array(pts)
+        m = jnp.ones(n)
+        if dirs_along_normal:
+            # sensor far BELOW the plane: rays along +z (the normal)
+            body = pts + jnp.array([0.0, 0.0, dist])
+        else:
+            # sensor far to the SIDE: rays along +x (in-plane)
+            body = pts + jnp.array([dist, 0.0, 0.0])
+        nv = vm.point_noise_record(body, dept, beam)
+        levels = vm.insert_scan(levels, cfg, pts, pts, nv, m, 0)
+        levels = vm.refresh_planes(levels, cfg, Rs, ps, mp, 1)
+        lv = levels[0]
+        sl = np.asarray(lv.slab)
+        st = np.asarray(lv.state)
+        rows = np.where(st == vm.STATE_PLANE)[0]
+        assert len(rows) > 0
+        return sl[rows[0]]
+
+    def test_normal_direction_noise_drives_gate(self, rng):
+        slab_n = self._insert_plane(rng, dirs_along_normal=True)
+        slab_t = self._insert_plane(rng, dirs_along_normal=False)
+        cvar_n = slab_n[8]   # _S_CVAR: center variance along normal / N
+        cvar_t = slab_t[8]
+        # rays along the normal put the large beam error IN-plane ->
+        # tiny along-normal variance (~dept^2); rays in-plane put it
+        # along the normal -> large variance (~(beam*d)^2)
+        assert cvar_t > 20.0 * cvar_n, (cvar_n, cvar_t)
+
+    def test_scalar_tr_backcompat(self, rng):
+        """(P,) per-point trace still accepted (isotropic expansion)."""
+        cfg = small_test_config().map
+        levels = vm.empty_map(cfg)
+        Rs, ps, mp = _identity_window(cfg.win_size)
+        n = 300
+        pts = np.stack([rng.uniform(0, 0.9, n), rng.uniform(0, 0.9, n),
+                        rng.normal(0.5, 0.001, n)], -1).astype(np.float32)
+        tr = jnp.full((n,), 1e-4)
+        levels = vm.insert_scan(levels, cfg, jnp.array(pts),
+                                jnp.array(pts), tr, jnp.ones(n), 0)
+        levels = vm.refresh_planes(levels, cfg, Rs, ps, mp, 1)
+        st = np.asarray(levels[0].state)
+        assert np.sum(st == vm.STATE_PLANE) > 0
+        sl = np.asarray(levels[0].slab)
+        rows = np.where(st == vm.STATE_PLANE)[0]
+        n_vox = np.asarray(levels[0].win.n[0])[rows[0]]
+        # isotropic: sigma^2 = tr, cvar = tr / n
+        np.testing.assert_allclose(sl[rows[0], 8], 1e-4 / n_vox,
+                                   rtol=1e-3)

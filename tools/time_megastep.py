@@ -19,14 +19,15 @@ def main():
     pipe, blobs = build_warm_pipeline()
     imu_blob, scan_blob, scal = blobs
     outs = pipe._jit_megastep(pipe.x, pipe.levels, pipe.win, pipe.mp,
-                              pipe.preints_dev, imu_blob, scan_blob, scal)
+                              pipe.preints_dev, pipe._stats_ring,
+                              imu_blob, scan_blob, scal)
     jax.block_until_ready(outs)
-    x, levels, win, mp, preints = outs[:5]
+    x, levels, win, mp, preints, ring = outs[:6]
     t0 = time.time()
     for _ in range(n):
-        outs = pipe._jit_megastep(x, levels, win, mp, preints,
+        outs = pipe._jit_megastep(x, levels, win, mp, preints, ring,
                                   imu_blob, scan_blob, scal)
-        x, levels, win, mp, preints = outs[:5]
+        x, levels, win, mp, preints, ring = outs[:6]
     jax.block_until_ready(outs)
     dt = (time.time() - t0) / n
     print(f"megastep: {dt*1e3:.2f} ms/scan  ({1.0/dt:.2f} fps)", flush=True)

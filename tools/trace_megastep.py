@@ -66,7 +66,7 @@ def build_warm_pipeline():
         dtype=np.float32))
     scan_blob = jnp.array(np.concatenate(
         [pts_j, off_j[:, None], pmask[:, None]], axis=1, dtype=np.float32))
-    scal = jnp.array([last[5], last[6], last[5] - 0.1, pipe.jour],
+    scal = jnp.array([last[5], last[6], last[5] - 0.1, pipe.jour, 0.0],
                      jnp.float32)
     return pipe, (imu_blob, scan_blob, scal)
 
@@ -79,18 +79,16 @@ def main():
     pipe, blobs = build_warm_pipeline()
     imu_blob, scan_blob, scal = blobs
     args = (pipe.x, pipe.levels, pipe.win, pipe.mp, pipe.preints_dev,
-            imu_blob, scan_blob, scal)
+            pipe._stats_ring, imu_blob, scan_blob, scal)
     outs = pipe._jit_megastep(*args)
     jax.block_until_ready(outs)
 
     with jax.profiler.trace(trace_dir):
-        x, levels, win, mp, preints = (outs[0], outs[1], outs[2], outs[3],
-                                       outs[4])
+        x, levels, win, mp, preints, ring = outs[:6]
         for _ in range(5):
-            outs = pipe._jit_megastep(x, levels, win, mp, preints,
+            outs = pipe._jit_megastep(x, levels, win, mp, preints, ring,
                                       imu_blob, scan_blob, scal)
-            x, levels, win, mp, preints = (outs[0], outs[1], outs[2],
-                                           outs[3], outs[4])
+            x, levels, win, mp, preints, ring = outs[:6]
         jax.block_until_ready(outs)
     print("trace written to", trace_dir, flush=True)
 

@@ -58,6 +58,13 @@ class OdometryConfig:
     blind: float = 0.5                     # min range
     point_filter_num: int = 1
     point_notime: bool = False
+    # scans whose packed stats accumulate in an on-device ring before ONE
+    # device->host fetch (a blocking readback costs a full round-trip on
+    # tunneled chips, ~25-30 ms measured; the ring amortizes it). Only
+    # active when per-scan clouds are not collected (loop disabled);
+    # bookkeeping (pose emission, divergence hysteresis) lags <= ring
+    # scans, well under degrade_bound.
+    stats_ring: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -370,12 +370,48 @@ def triangle_svd(src_verts: np.ndarray, dst_verts: np.ndarray):
 
 class DescriptorDB:
     """Host-side hash of triangle descriptors across all sessions
-    (reference data_base_, BTC.h:244)."""
+    (reference data_base_, BTC.h:244).
 
-    def __init__(self, cfg: BtcConfig):
+    Backed by the native C++ store (native/btcdb.cpp — add/search are
+    tight loops over thousands of triangles per keyframe) when the
+    toolchain is available; the Python dict implementation below is the
+    behavioral reference and the fallback (parity-tested in
+    tests/test_native.py)."""
+
+    def __init__(self, cfg: BtcConfig, use_native: bool = True):
         self.cfg = cfg
         self.db = defaultdict(list)  # (qa, qb, qc) -> [(frame, tri idx)]
         self.frames = {}             # frame id -> extraction dict (numpy)
+        self._nat = None
+        if use_native:
+            try:
+                from .. import native
+                self._nat = native.BtcDb(cfg.side_quant,
+                                         3 * cfg.height_slices)
+            except Exception:
+                self._nat = None
+
+    # -- pickling (checkpoints): the native handle is rebuilt from the
+    # stored frames on restore --
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["_nat"] = self._nat is not None
+        return d
+
+    def __setstate__(self, d):
+        had_native = d.pop("_nat", False)
+        self.__dict__.update(d)
+        self._nat = None
+        if had_native:
+            try:
+                from .. import native
+                self._nat = native.BtcDb(self.cfg.side_quant,
+                                         3 * self.cfg.height_slices)
+                for fid, fr in self.frames.items():
+                    self._nat.add(fid, fr["sides"], fr["binary"],
+                                  fr["tri_valid"])
+            except Exception:
+                self._nat = None
 
     def _qkey(self, sides):
         q = np.round(sides / self.cfg.side_quant).astype(np.int64)
@@ -384,6 +420,10 @@ class DescriptorDB:
     def add(self, frame_id: int, desc):
         d = {k: np.asarray(v) for k, v in desc.items()}
         self.frames[frame_id] = d
+        if self._nat is not None:
+            self._nat.add(frame_id, d["sides"], d["binary"],
+                          d["tri_valid"])
+            return
         ok = d["tri_valid"]
         qs = self._qkey(d["sides"][ok])
         for t_local, q in zip(np.where(ok)[0], qs):
@@ -408,6 +448,12 @@ class DescriptorDB:
         if binary_thr is None:
             binary_thr = self.cfg.binary_thr
         d = {k: np.asarray(v) for k, v in desc.items()}
+        if self._nat is not None:
+            return self._nat.search(
+                d["sides"], d["binary"], d["tri_valid"],
+                skip_near=skip_near, current_frame=current_frame,
+                binary_thr=binary_thr, min_votes=self.cfg.min_votes,
+                max_matches=self.cfg.max_matches)
         ok = np.where(d["tri_valid"])[0]
         votes = defaultdict(list)
         qs = self._qkey(d["sides"][ok])

@@ -29,16 +29,27 @@ re-fits ONLY the voxels touched by this scan; the full-map variant
 (slots=None) serves initialization / map rebuild.
 
 Plane parameter covariance: the reference propagates full per-point
-covariances through the eigenvector perturbation (Bf_var/plane_update,
-voxel_map.hpp:106-121,1344-1388). We accumulate the per-point noise
-level sigma^2 = trace(cov)/3 instead and use the closed-form isotropic
-plane uncertainty
+covariances through the eigenvector perturbation into a 9x9 moment
+covariance per voxel (Bf_var/plane_update, voxel_map.hpp:106-121,
+1344-1388). We compress the per-point LiDAR noise model
+var = a r r^T + b I (a = dept_err^2 - (beam_err d)^2, b = (beam_err d)^2
+— exactly calcBodyVar's structure) into a 5-channel per-voxel
+accumulator nv = [sum a*r (3), sum a, sum b], i.e. a rank-1 +
+isotropic approximation of sum var_i (exact when the voxel's points
+share a viewing direction — true for voxels much smaller than their
+range). The plane gate then uses the noise variance ALONG THE NORMAL
 
-    cov(normal) = sigma^2/N * sum_{k!=0} (l0+lk)/(l0-lk)^2 u_k u_k^T
-    cov(center) = sigma^2/N * I
+    s_n^2 = u0^T (sum var_i) u0 / N ~ ((u0.s)^2/sum_a + sum_b) / N
+    cov(normal) ~ s_n^2/N * sum_{k!=0} (l0+lk)/(l0-lk)^2 u_k u_k^T
+    cov(center).n ~ s_n^2/N
 
-which keeps the same 3-sigma match gate semantics (voxel_map.hpp:
-1649-1721) with O(1) state per voxel instead of a 9x9 accumulator.
+which is the first-order anisotropic plane uncertainty (plane points
+spread in-plane, so the normal perturbation is driven by the noise
+component along u0), with O(5) state per (slot, voxel) instead of the
+reference's 9x9 accumulator. Isotropic callers may still pass a scalar
+per-point trace/3 — it expands to a=0, b=tr (identical to the r2
+behavior). The 3-sigma match gate semantics (voxel_map.hpp:1649-1721)
+are unchanged.
 
 Everything the point-to-plane `match` needs per voxel is packed into one
 (C, SLAB) f32 record (normal, center, radius, precomputed plane-noise
@@ -73,8 +84,11 @@ _S_CVAR = 8       # center-variance coefficient sigma^2 / N
 _S_STATE = 9      # state as float (exact for 0/1/2)
 
 
+NV = 5  # noise-record channels: [sum a*rhat (3), sum a, sum b]
+
+
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["keys", "occ", "win", "win_tr", "fix", "fix_tr",
+         data_fields=["keys", "occ", "win", "win_nv", "fix", "fix_nv",
                       "state", "slab", "lam", "jour"],
          meta_fields=[])
 @dataclasses.dataclass
@@ -82,9 +96,9 @@ class VoxelLevel:
     keys: jnp.ndarray      # (C, 3) int32
     occ: jnp.ndarray       # (C,) bool
     win: Cluster           # leaves (W, C, ...): local-frame per window slot
-    win_tr: jnp.ndarray    # (W, C) sum of per-point trace(cov)/3
+    win_nv: jnp.ndarray    # (W, C, NV) noise record, LOCAL frame
     fix: Cluster           # (C, ...): world-frame marginalized points
-    fix_tr: jnp.ndarray    # (C,)
+    fix_nv: jnp.ndarray    # (C, NV) noise record, WORLD frame
     state: jnp.ndarray     # (C,) int32
     slab: jnp.ndarray      # (C, SLAB) packed match record
     lam: jnp.ndarray       # (C, 3) eigenvalues of normalized cov
@@ -110,14 +124,37 @@ def empty_level(capacity: int, win_size: int) -> VoxelLevel:
     return VoxelLevel(
         keys=keys, occ=occ,
         win=Cluster.empty((win_size, C)),
-        win_tr=jnp.zeros((win_size, C)),
+        win_nv=jnp.zeros((win_size, C, NV)),
         fix=Cluster.empty((C,)),
-        fix_tr=jnp.zeros((C,)),
+        fix_nv=jnp.zeros((C, NV)),
         state=jnp.zeros((C,), jnp.int32),
         slab=jnp.zeros((C, SLAB)),
         lam=jnp.zeros((C, 3)),
         jour=jnp.zeros((C,)),
     )
+
+
+def expand_noise(tr_pt: jnp.ndarray) -> jnp.ndarray:
+    """Per-point noise records: accept either a scalar isotropic
+    trace/3 (N,) — expanded to a=0, b=tr — or a full (N, NV) record
+    [a*rhat (3), a, b] from `point_noise_record`."""
+    if tr_pt.ndim == 2 and tr_pt.shape[-1] == NV:
+        return tr_pt
+    z = jnp.zeros(tr_pt.shape + (4,), tr_pt.dtype)
+    return jnp.concatenate([z, tr_pt[..., None]], axis=-1)
+
+
+def point_noise_record(pts_body: jnp.ndarray, dept_err: float,
+                       beam_err: float) -> jnp.ndarray:
+    """(N, NV) noise record of the LiDAR range/bearing model
+    var = a r r^T + b I with a = dept^2 - (beam d)^2, b = (beam d)^2
+    (the decomposition of calcBodyVar, voxelslam.hpp:180-200).
+    pts_body: (N, 3) sensor/body frame."""
+    r = jnp.linalg.norm(pts_body, axis=-1, keepdims=True)
+    rhat = pts_body / jnp.maximum(r, 1e-6)
+    b = (beam_err * r) ** 2                       # (N, 1)
+    a = dept_err ** 2 - b
+    return jnp.concatenate([a * rhat, a, b], axis=-1)
 
 
 def empty_map(cfg: MapConfig):
@@ -151,6 +188,7 @@ def insert_scan_level(lv: VoxelLevel, level_size: float, unique_max: int,
         uniq, uvalid, inv, tkeys, occ, uslots = _pre
         occ_before = lv.occ
 
+    nv_pt = expand_noise(tr_pt)
     pslot = jnp.where(inv >= 0, uslots[jnp.maximum(inv, 0)], -1)
     ok = (mask > 0) & (pslot >= 0)
     # barrier: see insert_fixed_level (scatter fusion assertion)
@@ -163,14 +201,14 @@ def insert_scan_level(lv: VoxelLevel, level_size: float, unique_max: int,
     d = (pts_local - mu_add[jnp.maximum(pslot, 0)]) * w[:, None]
     S_add = jnp.zeros((C, 3, 3)).at[seg].add(
         d[:, :, None] * d[:, None, :], mode="drop")
-    tr_add = jnp.zeros((C,)).at[seg].add(tr_pt * w, mode="drop")
+    nv_add = jnp.zeros((C, NV)).at[seg].add(nv_pt * w[:, None], mode="drop")
 
     added = Cluster(n=n_add, mu=mu_add, S=S_add)
     col = lv.win[frame_slot]
     merged = cl.merge(col, added)
     win = jax.tree.map(lambda full, new: full.at[frame_slot].set(new),
                        lv.win, merged)
-    win_tr = lv.win_tr.at[frame_slot].add(tr_add)
+    win_nv = lv.win_nv.at[frame_slot].add(nv_add)
 
     # stamp journey distance on newly created voxels
     newly = uvalid & (uslots >= 0) & ~occ_before[jnp.maximum(uslots, 0)]
@@ -178,7 +216,7 @@ def insert_scan_level(lv: VoxelLevel, level_size: float, unique_max: int,
         jnp.float32(jour), mode="drop")
 
     lv = dataclasses.replace(lv, keys=tkeys, occ=occ, win=win,
-                             win_tr=win_tr, jour=jour_arr)
+                             win_nv=win_nv, jour=jour_arr)
     dropped = jnp.sum((uvalid & (uslots < 0)).astype(jnp.int32))
     return lv, uslots, uvalid & (uslots >= 0), dropped
 
@@ -220,6 +258,7 @@ def insert_fixed_level(lv: VoxelLevel, level_size: float, unique_max: int,
     occ_before = lv.occ
     tkeys, occ, uslots = vh.insert(lv.keys, lv.occ, uniq, uvalid)
 
+    nv_pt = expand_noise(tr_pt)
     pslot = jnp.where(inv >= 0, uslots[jnp.maximum(inv, 0)], -1)
     ok = (mask > 0) & (pslot >= 0)
     # barrier: indices (seg) and update weights (w) share the `ok`
@@ -234,16 +273,16 @@ def insert_fixed_level(lv: VoxelLevel, level_size: float, unique_max: int,
     d = (pts_world - mu_add[jnp.maximum(pslot, 0)]) * w[:, None]
     S_add = jnp.zeros((C, 3, 3)).at[seg].add(
         d[:, :, None] * d[:, None, :], mode="drop")
-    tr_add = jnp.zeros((C,)).at[seg].add(tr_pt * w, mode="drop")
+    nv_add = jnp.zeros((C, NV)).at[seg].add(nv_pt * w[:, None], mode="drop")
 
     fix = cl.merge(lv.fix, Cluster(n=n_add, mu=mu_add, S=S_add))
-    fix_tr = lv.fix_tr + tr_add
+    fix_nv = lv.fix_nv + nv_add
 
     newly = uvalid & (uslots >= 0) & ~occ_before[jnp.maximum(uslots, 0)]
     jour_arr = lv.jour.at[jnp.where(newly, uslots, C)].set(
         jnp.float32(jour), mode="drop")
     lv = dataclasses.replace(lv, keys=tkeys, occ=occ, fix=fix,
-                             fix_tr=fix_tr, jour=jour_arr)
+                             fix_nv=fix_nv, jour=jour_arr)
     dropped = jnp.sum((uvalid & (uslots < 0)).astype(jnp.int32))
     return lv, uslots, uvalid & (uslots >= 0), dropped
 
@@ -287,12 +326,13 @@ def _phys_poses(Rs, ps, mp, win_count):
     return Rs[inv], ps[inv], fmask
 
 
-def _total_over_frames(win: Cluster, win_tr, fix: Cluster, fix_tr,
+def _total_over_frames(win: Cluster, win_nv, fix: Cluster, fix_nv,
                        Rs_p, ps_p, fmask):
     """fix + sum_w transform(win[w], pose_w) as a one-pass anchored
     reduction (exact centered moments, no sequential merge chain).
     win leaves (W, B, ...); fix (B, ...); Rs_p/ps_p/fmask in PHYSICAL
-    slot order."""
+    slot order. The noise records' direction channel rotates with each
+    frame (win_nv is local-frame); a/b channels are frame-invariant."""
     n_w = win.n * fmask[:, None]                                  # (W, B)
     mu_w = jnp.einsum("wij,wbj->wbi", Rs_p, win.mu) + ps_p[:, None]
     S_w = jnp.einsum("wij,wbjk,wlk->wbil", Rs_p, win.S, Rs_p)
@@ -310,8 +350,11 @@ def _total_over_frames(win: Cluster, win_tr, fix: Cluster, fix_tr,
     empty = (n_t == 0)[:, None]
     mu_t = jnp.where(empty, 0.0, mu_t)
     S_t = jnp.where(empty[..., None], 0.0, S_t)
-    tr = fix_tr + jnp.einsum("wb,w->b", win_tr, fmask)
-    return Cluster(n=n_t, mu=mu_t, S=S_t), tr
+    s_w = jnp.einsum("wij,wbj->wbi", Rs_p, win_nv[..., 0:3])
+    nv = fix_nv + jnp.concatenate(
+        [jnp.einsum("wbi,w->bi", s_w, fmask),
+         jnp.einsum("wbk,w->bk", win_nv[..., 3:5], fmask)], axis=-1)
+    return Cluster(n=n_t, mu=mu_t, S=S_t), nv
 
 
 def total_cluster_level(lv: VoxelLevel, Rs: jnp.ndarray, ps: jnp.ndarray,
@@ -322,13 +365,20 @@ def total_cluster_level(lv: VoxelLevel, Rs: jnp.ndarray, ps: jnp.ndarray,
     slot map; frames i >= win_count are ignored.
     """
     Rs_p, ps_p, fmask = _phys_poses(Rs, ps, mp, win_count)
-    return _total_over_frames(lv.win, lv.win_tr, lv.fix, lv.fix_tr,
+    return _total_over_frames(lv.win, lv.win_nv, lv.fix, lv.fix_nv,
                               Rs_p, ps_p, fmask)
 
 
-def _plane_fit(total: Cluster, tr_total, occ, layer, cfg: MapConfig,
+def _plane_fit(total: Cluster, nv_total, occ, layer, cfg: MapConfig,
                min_eig, thr):
-    """Plane fit of a batch of total clusters -> (state, slab, lam)."""
+    """Plane fit of a batch of total clusters -> (state, slab, lam).
+
+    nv_total: (B, NV) accumulated noise records. The plane-noise
+    coefficients use the noise variance along the fitted normal,
+    u0^T (sum var_i) u0 = (u0.s)^2 / sum_a + sum_b (see module
+    docstring) — anisotropic sensors (beam_err != dept_err) gate
+    grazing-incidence planes more loosely along-beam, like the
+    reference's full covariance propagation."""
     covm = cl.cov(total)
     lam, V = eigh3(covm)
     n = total.n
@@ -341,7 +391,13 @@ def _plane_fit(total: Cluster, tr_total, occ, layer, cfg: MapConfig,
     state = jnp.where(is_plane, STATE_PLANE,
                       jnp.where(can_subdiv, STATE_SUBDIV, STATE_NONE))
 
-    sigma2 = tr_total / jnp.maximum(n, 1.0)
+    u0 = V[:, :, 0]
+    us = jnp.einsum("bi,bi->b", u0, nv_total[:, 0:3])
+    asum = nv_total[:, 3]
+    # mixed-sign a within a voxel can cancel; fall back to isotropic
+    den = jnp.where(jnp.abs(asum) > 1e-12, asum, jnp.inf)
+    vsum_n = jnp.maximum(us * us / den + nv_total[:, 4], 1e-12)
+    sigma2 = vsum_n / jnp.maximum(n, 1.0)
     # precompute the match-gate plane noise coefficients: the isotropic
     # in-plane form cmean * (I - u0 u0^T) (exact when l1 == l2)
     l0, l1, l2 = lam[:, 0], lam[:, 1], lam[:, 2]
@@ -373,8 +429,8 @@ def refresh_planes_level(lv: VoxelLevel, layer: int, cfg: MapConfig,
     thr = cfg.plane_thr[layer] if plane_thr is None else plane_thr
 
     if slots is None:
-        total, tr_total = total_cluster_level(lv, Rs, ps, mp, win_count)
-        state, slab, lam = _plane_fit(total, tr_total, lv.occ, layer, cfg,
+        total, nv_total = total_cluster_level(lv, Rs, ps, mp, win_count)
+        state, slab, lam = _plane_fit(total, nv_total, lv.occ, layer, cfg,
                                       min_eig, thr)
         return dataclasses.replace(lv, state=state, slab=slab, lam=lam)
 
@@ -383,12 +439,12 @@ def refresh_planes_level(lv: VoxelLevel, layer: int, cfg: MapConfig,
     si = jnp.where(svalid, slots, 0)
     Rs_p, ps_p, fmask = _phys_poses(Rs, ps, mp, win_count)
     win_u = jax.tree.map(lambda a: a[:, si], lv.win)
-    total, tr = _total_over_frames(win_u, lv.win_tr[:, si],
-                                   lv.fix[si], lv.fix_tr[si],
+    total, nv = _total_over_frames(win_u, lv.win_nv[:, si],
+                                   lv.fix[si], lv.fix_nv[si],
                                    Rs_p, ps_p, fmask)
 
     occ_u = lv.occ[si] & svalid
-    state_u, slab_u, lam_u = _plane_fit(total, tr, occ_u, layer, cfg,
+    state_u, slab_u, lam_u = _plane_fit(total, nv, occ_u, layer, cfg,
                                         min_eig, thr)
     # barrier: see voxel_hash.insert — indices and updates share the
     # (slots, svalid) producers; fusing both into one scatter trips an
@@ -495,11 +551,15 @@ def marginalize_level(lv: VoxelLevel, cfg: MapConfig, Rs, ps, mp,
     """Fold the oldest `mgsize` window frames into the fixed statistics
     (until the max_points cap), then clear those window slots."""
     moved = Cluster.empty((lv.keys.shape[0],))
-    tr_m = jnp.zeros_like(lv.fix_tr)
+    nv_m = jnp.zeros_like(lv.fix_nv)
     for i in range(mgsize):
         c_w = cl.transform(lv.win[mp[i]], Rs[i], ps[i])
         moved = cl.merge(moved, c_w)
-        tr_m = tr_m + lv.win_tr[mp[i]]
+        nv_i = lv.win_nv[mp[i]]
+        # direction channel rotates local -> world with the frame pose
+        nv_m = nv_m + jnp.concatenate(
+            [jnp.einsum("ij,bj->bi", Rs[i], nv_i[:, 0:3]),
+             nv_i[:, 3:5]], axis=-1)
 
     take = lv.fix.n < cfg.max_points
     folded = cl.merge(lv.fix, moved)
@@ -508,17 +568,17 @@ def marginalize_level(lv: VoxelLevel, cfg: MapConfig, Rs, ps, mp,
         mu=jnp.where(take[:, None], folded.mu, lv.fix.mu),
         S=jnp.where(take[:, None, None], folded.S, lv.fix.S),
     )
-    fix_tr = jnp.where(take, lv.fix_tr + tr_m, lv.fix_tr)
+    fix_nv = jnp.where(take[:, None], lv.fix_nv + nv_m, lv.fix_nv)
 
-    win, win_tr = lv.win, lv.win_tr
+    win, win_nv = lv.win, lv.win_nv
     for i in range(mgsize):
         win = jax.tree.map(
             lambda full: full.at[mp[i]].set(jnp.zeros_like(full[mp[i]])),
             win)
-        win_tr = win_tr.at[mp[i]].set(0.0)
+        win_nv = win_nv.at[mp[i]].set(0.0)
 
-    return dataclasses.replace(lv, fix=fix, fix_tr=fix_tr, win=win,
-                               win_tr=win_tr)
+    return dataclasses.replace(lv, fix=fix, fix_nv=fix_nv, win=win,
+                               win_nv=win_nv)
 
 
 def marginalize(levels, cfg: MapConfig, Rs, ps, mp, win_count, mgsize: int):
@@ -563,9 +623,9 @@ def evict_level(lv: VoxelLevel, jour_now, max_dist: float):
     return VoxelLevel(
         keys=nkeys, occ=nocc,
         win=jax.tree.map(perm_w, lv.win),
-        win_tr=perm_w(lv.win_tr),
+        win_nv=perm_w(lv.win_nv),
         fix=jax.tree.map(perm, lv.fix),
-        fix_tr=perm(lv.fix_tr),
+        fix_nv=perm(lv.fix_nv),
         state=perm(lv.state),
         slab=perm(lv.slab),
         lam=perm(lv.lam),

@@ -19,6 +19,7 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "ingest.cpp")
 _SRC_LOADER = os.path.join(_HERE, "loader.cpp")
+_SRC_BTCDB = os.path.join(_HERE, "btcdb.cpp")
 _SO = os.path.join(_HERE, "libvsingest.so")
 _lock = threading.Lock()
 _lib = None
@@ -31,7 +32,8 @@ _TYPE_CODES = {"f4": 0, "f8": 1, "u4": 2, "i4": 3, "u2": 4, "u1": 5,
 
 def _build() -> bool:
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-std=c++17", _SRC, _SRC_LOADER, "-o", _SO, "-lpthread"]
+           "-std=c++17", _SRC, _SRC_LOADER, _SRC_BTCDB, "-o", _SO,
+           "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -47,7 +49,8 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_LOADER))
+        src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_LOADER),
+                        os.path.getmtime(_SRC_BTCDB))
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < src_mtime:
             if not _build():
                 return None
@@ -87,6 +90,25 @@ def get_lib():
             lib.vs_loader_close.restype = None
             lib.vs_loader_close.argtypes = [ctypes.c_void_p]
         except AttributeError:  # stale .so without the loader
+            pass
+        try:
+            lib.vs_btcdb_new.restype = ctypes.c_void_p
+            lib.vs_btcdb_new.argtypes = [ctypes.c_double, ctypes.c_int64]
+            lib.vs_btcdb_free.restype = None
+            lib.vs_btcdb_free.argtypes = [ctypes.c_void_p]
+            lib.vs_btcdb_add.restype = None
+            lib.vs_btcdb_add.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            lib.vs_btcdb_search.restype = ctypes.c_int64
+            lib.vs_btcdb_search.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p]
+        except AttributeError:  # stale .so without btcdb
             pass
         _lib = lib
         return _lib
@@ -242,6 +264,68 @@ class ScanLoader:
     def close(self):
         if getattr(self, "_h", None):
             self._lib.vs_loader_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class BtcDb:
+    """Native triangle-descriptor hash (btcdb.cpp) — the host half of
+    the reference's STDescManager DB. Raises RuntimeError when the
+    native toolchain is unavailable (callers fall back to the Python
+    dict implementation in loop/btc.py)."""
+
+    def __init__(self, side_quant: float, code_len: int):
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "vs_btcdb_new"):
+            raise RuntimeError("native btcdb unavailable")
+        self._lib = lib
+        self._quant = float(side_quant)
+        self._code_len = int(code_len)
+        self._h = lib.vs_btcdb_new(self._quant, self._code_len)
+        if not self._h:
+            raise RuntimeError("vs_btcdb_new failed")
+
+    def add(self, frame_id: int, sides: np.ndarray, codes: np.ndarray,
+            valid: np.ndarray) -> None:
+        n = len(sides)
+        s = np.ascontiguousarray(sides, np.float32)
+        c = np.ascontiguousarray(codes.reshape(n, -1), np.float32)
+        assert c.shape[1] == self._code_len, (c.shape, self._code_len)
+        v = np.ascontiguousarray(valid, np.uint8)
+        self._lib.vs_btcdb_add(self._h, int(frame_id), n,
+                               s.ctypes.data, c.ctypes.data, v.ctypes.data)
+
+    def search(self, sides: np.ndarray, codes: np.ndarray,
+               valid: np.ndarray, skip_near: int, current_frame: int,
+               binary_thr: float, min_votes: int, max_matches: int,
+               max_out: int = 64):
+        """[(frame, votes, [(q_tri, t_tri), ...])] sorted by votes."""
+        n = len(sides)
+        s = np.ascontiguousarray(sides, np.float32)
+        c = np.ascontiguousarray(codes.reshape(n, -1), np.float32)
+        v = np.ascontiguousarray(valid, np.uint8)
+        out_f = np.empty(max_out, np.int64)
+        out_v = np.empty(max_out, np.int64)
+        out_k = np.empty(max_out, np.int64)
+        out_p = np.empty((max_out, max_matches, 2), np.int32)
+        m = self._lib.vs_btcdb_search(
+            self._h, n, s.ctypes.data, c.ctypes.data, v.ctypes.data,
+            int(skip_near), int(current_frame), float(binary_thr),
+            int(min_votes), int(max_matches), int(max_out),
+            out_f.ctypes.data, out_v.ctypes.data, out_k.ctypes.data,
+            out_p.ctypes.data)
+        return [(int(out_f[i]), int(out_v[i]),
+                 [tuple(map(int, p)) for p in out_p[i, :out_k[i]]])
+                for i in range(m)]
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.vs_btcdb_free(self._h)
             self._h = None
 
     def __del__(self):

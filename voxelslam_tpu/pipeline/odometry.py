@@ -52,7 +52,10 @@ def _pin_window_layouts(levels):
     wasted bandwidth on every window-slot dynamic-update-slice, the
     dominant cost of the fused step as traced on TPU). Pinning the
     size-3 component dims major and the capacity dim minor keeps the
-    lanes dense: physical (3[,3], W, C)."""
+    lanes dense: physical (3[,3], W, C). The fixed-cluster arrays
+    (C, 3[,3]) get the same treatment — traced unpinned, XLA flip-flops
+    them between C-minor and row-major across the insert/marginalize/
+    refresh consumers, paying ~1 ms relayout copies per direction."""
     try:
         from jax.experimental.layout import Layout, with_layout_constraint
     except ImportError:  # older jax: let XLA choose
@@ -69,8 +72,18 @@ def _pin_window_layouts(levels):
             return a
         return with_layout_constraint(a, lay)
 
+    def pin_fix(a):
+        if a.ndim == 3:      # (C, 3, 3) -> physical (3, 3, C)
+            lay = Layout((1, 2, 0))
+        elif a.ndim == 2:    # (C, 3)    -> physical (3, C)
+            lay = Layout((1, 0))
+        else:
+            return a
+        return with_layout_constraint(a, lay)
+
     return [dataclasses.replace(
-        lv, win=jax.tree.map(pin, lv.win), win_tr=pin(lv.win_tr))
+        lv, win=jax.tree.map(pin, lv.win), win_nv=pin(lv.win_nv),
+        fix=jax.tree.map(pin_fix, lv.fix))
         for lv in levels]
 
 
@@ -132,7 +145,12 @@ class SlamPipeline:
         self._jit_evict = jax.jit(
             lambda levels, jour: vm.evict(levels, jour,
                                           self.cfg.map.evict_dist))
-        self._jit_megastep = jax.jit(self._steady_megastep, donate_argnums=(1, 2, 4))
+        # NOTE: the stats ring (arg 5) is deliberately NOT donated — the
+        # deferred-emission fetch holds the previous ring buffer while
+        # later scans dispatch; donation would hand that buffer back to
+        # XLA and invalidate the pending read (it is ~600 bytes).
+        self._jit_megastep = jax.jit(self._steady_megastep,
+                                     donate_argnums=(1, 2, 4))
         self._jit_mega_accum = jax.jit(self._mega_accum,
                                        donate_argnums=(1, 2, 4))
 
@@ -161,7 +179,7 @@ class SlamPipeline:
         self._preint_list = []
         self.scan_buf = np.zeros((W, P, 3), np.float32)
         self.scan_mask = np.zeros((W, P), np.float32)
-        self.scan_tr = np.zeros((W, P), np.float32)
+        self.scan_tr = np.zeros((W, P, vm.NV), np.float32)
         M = cfg.odom.imu_max - 1
         self.imu_buf_g = np.zeros((W, M, 3), np.float32)
         self.imu_buf_a = np.zeros((W, M, 3), np.float32)
@@ -170,6 +188,17 @@ class SlamPipeline:
         self.degrade_cnt = 0
         self._last_p = None
         self._pending = None
+        # on-device stats ring: K scans' packed stats gather on device;
+        # one host fetch per K scans (tunnel round-trips dominate the
+        # per-scan host cost otherwise). Cloud collection needs per-scan
+        # fetches anyway, so the ring is 1 there.
+        self._ring_K = 1 if self.collect_clouds else max(
+            1, cfg.odom.stats_ring)
+        mg = cfg.lba.mgsize
+        self._stats_len = 5 + 31 * mg + 1
+        self._stats_ring = jnp.zeros((self._ring_K, self._stats_len))
+        self._ring_fill = 0
+        self._pend_t: list[float] = []
         self.session = session
         self.jour = 0.0
         self.init_done = False
@@ -211,8 +240,11 @@ class SlamPipeline:
         down, dmask, _ = voxel_downsample(pts_body, mask, cfg.down_size,
                                           self.cfg.odom.point_max)
         var_b = iekf.point_var_body(down, cfg.dept_err, cfg.beam_err)
-        tr = jnp.einsum("nii->n", var_b) / 3.0
-        return down, dmask.astype(jnp.float32), var_b, tr
+        # (P, NV) anisotropic noise records for the map accumulators
+        # (rank-1 + isotropic decomposition of var_b — voxel_map module
+        # docstring); body-frame directions, rotated at refresh
+        nv = vm.point_noise_record(down, cfg.dept_err, cfg.beam_err)
+        return down, dmask.astype(jnp.float32), var_b, nv
 
     def _kdtree_step(self, state, ref_cloud, ref_mask, pts, mask):
         st = iekf.iekf_update_kdtree(state, ref_cloud, ref_mask, pts, mask)
@@ -267,7 +299,7 @@ class SlamPipeline:
             lambda a: jnp.concatenate([a[mg:], a[:mg]], axis=0), new_win)
         return levels, new_win, win_shift, mp_new, v6, r0, r1
 
-    def _steady_megastep(self, state, levels, win, mp, preints,
+    def _steady_megastep(self, state, levels, win, mp, preints, ring,
                          imu_blob, scan_blob, scal):
         """One fused steady-phase scan: propagate+deskew -> downsample ->
         preintegrate -> iEKF -> window push + insert -> plane refresh ->
@@ -287,6 +319,7 @@ class SlamPipeline:
         pts, offsets, pmask = (scan_blob[:, 0:3], scan_blob[:, 3],
                                scan_blob[:, 4])
         scan_beg, scan_end, last_end, jour = scal[0], scal[1], scal[2], scal[3]
+        slot = scal[4].astype(jnp.int32)
         levels = _pin_window_layouts(levels)
 
         # 1) propagate + deskew + downsample
@@ -372,7 +405,8 @@ class SlamPipeline:
             emitted.g.reshape(-1),
             jnp.stack([dropped.astype(jnp.float32)]),
         ])
-        return (x_out, levels, win_next, mp_new, preints, stats,
+        ring = jax.lax.dynamic_update_slice(ring, stats[None], (slot, 0))
+        return (x_out, levels, win_next, mp_new, preints, ring,
                 down, dmask, tr)
 
     def _mega_accum(self, state, levels, win, mp, preints, imu_blob,
@@ -758,14 +792,18 @@ class SlamPipeline:
                                t_end, last_end, pts_j, off_j, pmask):
         """Steady phase: ONE fused device call per scan.
 
-        The packed stats vector of scan k is fetched only after scan
-        k+1 has been dispatched, so the device->host roundtrip (the
-        dominant per-scan cost on a tunneled chip) overlaps the next
-        scan's device execution instead of serializing with it. Pose
-        emission / divergence bookkeeping therefore lag one scan; the
-        degrade hysteresis (bound 10+) makes that immaterial, and
-        `_flush_pending` forces emission wherever exact state is
-        needed (flush, loop corrections)."""
+        Packed per-scan stats accumulate in an on-device ring of
+        `_ring_K` rows; the host fetches the full ring in ONE readback
+        after the ring fills, and only after the NEXT scan has been
+        dispatched (a blocking device->host readback costs a full
+        tunnel round-trip, ~25-30 ms measured — the ring amortizes it
+        and the deferral overlaps it with device execution). Pose
+        emission / divergence bookkeeping therefore lag up to
+        ring+1 scans; the degrade hysteresis (bound 10+) makes that
+        immaterial, and `_flush_pending` forces emission wherever exact
+        state is needed (flush, loop corrections). With clouds collected
+        (loop closure on) the ring is 1 — clouds need per-scan fetches
+        anyway."""
         cfg = self.cfg
         W = cfg.lba.win_size
         mg = cfg.lba.mgsize
@@ -775,7 +813,8 @@ class SlamPipeline:
             axis=1, dtype=np.float32))
         scan_blob = jnp.array(np.concatenate(
             [pts_j, off_j[:, None], pmask[:, None]], axis=1, dtype=np.float32))
-        scal = jnp.array([t_beg, t_end, last_end, self.jour], jnp.float32)
+        scal = jnp.array([t_beg, t_end, last_end, self.jour,
+                          float(self._ring_fill)], jnp.float32)
 
         if mg > 1:
             # the refill decision needs an up-to-date win_count
@@ -786,16 +825,19 @@ class SlamPipeline:
                 return self._process_steady_accum(imu_blob, scan_blob,
                                                   scal, t_end)
 
-        (x_out, levels, win_next, mp_new, preints, stats,
+        (x_out, levels, win_next, mp_new, preints, ring,
          down, dmask, tr) = self._jit_megastep(
             self.x, self.levels, self.win, self.mp, self.preints_dev,
-            imu_blob, scan_blob, scal)
+            self._stats_ring, imu_blob, scan_blob, scal)
 
         self.x = x_out
         self.levels = levels
         self.win = win_next
         self.mp = mp_new
         self.preints_dev = preints
+        self._stats_ring = ring
+        self._ring_fill += 1
+        self._pend_t.append(t_end)
         self.scan_count += 1
 
         out = None
@@ -805,7 +847,11 @@ class SlamPipeline:
             # divergence reset: the in-flight scan used the diverged
             # trajectory/map — discard it with the session
             return out
-        self._pending = (stats, down, dmask, tr, t_end)
+        if self._ring_fill >= self._ring_K:
+            self._pending = (self._stats_ring, self._ring_fill,
+                             list(self._pend_t), down, dmask, tr)
+            self._ring_fill = 0
+            self._pend_t = []
         if out is None:
             out = {"phase": "odom", "pending": True, "t": t_end}
         return out
@@ -842,60 +888,83 @@ class SlamPipeline:
                 "hash_dropped": int(st[3])}
 
     def _flush_pending(self):
-        """Force emission of the deferred scan's stats (if any)."""
+        """Force emission of all deferred stats: the fetched-pending
+        batch (if set) AND any partially filled on-device ring."""
+        out = None
         if getattr(self, "_pending", None) is not None:
-            return self._emit_pending()
-        return None
+            out = self._emit_pending()
+            if out is not None and out.get("phase") == "reset":
+                return out
+        if getattr(self, "_ring_fill", 0) > 0:
+            self._pending = (self._stats_ring, self._ring_fill,
+                             list(self._pend_t), None, None, None)
+            self._ring_fill = 0
+            self._pend_t = []
+            out2 = self._emit_pending()
+            out = out2 if out2 is not None else out
+        return out
 
     def _emit_pending(self):
+        """Fetch the pending stats ring (ONE device->host readback) and
+        emit every deferred scan's poses + bookkeeping in order."""
         cfg = self.cfg
         W = cfg.lba.win_size
         mg = cfg.lba.mgsize
-        stats, down, dmask, tr, t_end = self._pending
+        ring, fill, t_ends, down, dmask, tr = self._pending
         self._pending = None
 
-        st = np.asarray(stats)  # ONE packed device->host fetch
-        ok = bool(st[0] > 0)
-        matches, nnt_eig0, r0, r1 = st[1], st[2], st[3], st[4]
-        v6_np = st[5:5 + 6 * mg].reshape(mg, 6)
-        off = 5 + 6 * mg
-        e_t = st[off:off + mg]
-        e_R = st[off + mg:off + mg + 9 * mg].reshape(mg, 3, 3)
-        e_p = st[off + 10 * mg:off + 13 * mg].reshape(mg, 3)
-        e_v = st[off + 13 * mg:off + 16 * mg].reshape(mg, 3)
-        e_bg = st[off + 16 * mg:off + 19 * mg].reshape(mg, 3)
-        e_ba = st[off + 19 * mg:off + 22 * mg].reshape(mg, 3)
-        e_g = st[off + 22 * mg:off + 25 * mg].reshape(mg, 3)
-        hash_dropped = int(st[off + 25 * mg])
-        self.jour += float(np.linalg.norm(e_p[-1] - self._last_p)) \
-            if self._last_p is not None else 0.0
-        self._last_p = e_p[-1]
+        rows = np.asarray(ring)  # ONE packed device->host fetch
+        out = None
+        for r in range(fill):
+            st = rows[r]
+            t_end = t_ends[r]
+            ok = bool(st[0] > 0)
+            matches, nnt_eig0, r0, r1 = st[1], st[2], st[3], st[4]
+            v6_np = st[5:5 + 6 * mg].reshape(mg, 6)
+            off = 5 + 6 * mg
+            e_t = st[off:off + mg]
+            e_R = st[off + mg:off + mg + 9 * mg].reshape(mg, 3, 3)
+            e_p = st[off + 10 * mg:off + 13 * mg].reshape(mg, 3)
+            e_v = st[off + 13 * mg:off + 16 * mg].reshape(mg, 3)
+            e_bg = st[off + 16 * mg:off + 19 * mg].reshape(mg, 3)
+            e_ba = st[off + 19 * mg:off + 22 * mg].reshape(mg, 3)
+            e_g = st[off + 22 * mg:off + 25 * mg].reshape(mg, 3)
+            hash_dropped = int(st[off + 25 * mg])
+            self.jour += float(np.linalg.norm(e_p[-1] - self._last_p)) \
+                if self._last_p is not None else 0.0
+            self._last_p = e_p[-1]
 
-        # divergence bookkeeping (reference :1893-1947)
-        self.degrade_cnt = max(0, self.degrade_cnt - 1) if ok \
-            else self.degrade_cnt + 1
-        if self.degrade_cnt > cfg.odom.degrade_bound:
-            self.reset(session=self.session + 1)
-            return {"phase": "reset", "session": self.session}
+            # divergence bookkeeping (reference :1893-1947)
+            self.degrade_cnt = max(0, self.degrade_cnt - 1) if ok \
+                else self.degrade_cnt + 1
+            if self.degrade_cnt > cfg.odom.degrade_bound:
+                self.reset(session=self.session + 1)
+                return {"phase": "reset", "session": self.session}
 
-        # record the new scan's cloud at logical slot W-1, emit the
-        # marginalized scans, then roll the host-side cloud buffers
-        if self.collect_clouds:
-            self.scan_buf[W - 1] = np.asarray(down)
-            self.scan_mask[W - 1] = np.asarray(dmask)
-            self.scan_tr[W - 1] = np.asarray(tr)
-        for k in range(mg):
-            self.scan_poses.append(ScanPose(
-                t=float(e_t[k]), R=e_R[k], p=e_p[k], v=e_v[k],
-                v6=v6_np[k],
-                cloud=self.scan_buf[k].copy(),
-                cloud_mask=self.scan_mask[k].copy(),
-                session=self.session,
-                bg=e_bg[k], ba=e_ba[k], g=e_g[k]))
-        self.scan_buf = np.roll(self.scan_buf, -mg, axis=0)
-        self.scan_mask = np.roll(self.scan_mask, -mg, axis=0)
-        self.scan_tr = np.roll(self.scan_tr, -mg, axis=0)
-        self.win_count = W - mg
+            # record the new scan's cloud at logical slot W-1, emit the
+            # marginalized scans, then roll the host-side cloud buffers
+            # (clouds are only collected in ring-of-1 mode)
+            if self.collect_clouds and down is not None:
+                self.scan_buf[W - 1] = np.asarray(down)
+                self.scan_mask[W - 1] = np.asarray(dmask)
+                self.scan_tr[W - 1] = np.asarray(tr)
+            for k in range(mg):
+                self.scan_poses.append(ScanPose(
+                    t=float(e_t[k]), R=e_R[k], p=e_p[k], v=e_v[k],
+                    v6=v6_np[k],
+                    cloud=self.scan_buf[k].copy(),
+                    cloud_mask=self.scan_mask[k].copy(),
+                    session=self.session,
+                    bg=e_bg[k], ba=e_ba[k], g=e_g[k]))
+            self.scan_buf = np.roll(self.scan_buf, -mg, axis=0)
+            self.scan_mask = np.roll(self.scan_mask, -mg, axis=0)
+            self.scan_tr = np.roll(self.scan_tr, -mg, axis=0)
+            self.win_count = W - mg
+
+            out = {"phase": "odom", "ok": ok, "matches": int(matches),
+                   "nnt_eig0": float(nnt_eig0), "t": t_end,
+                   "ba_r0": float(r0), "ba_r1": float(r1),
+                   "hash_dropped": hash_dropped}
 
         # periodic memory reclamation (reference idle-time eviction of
         # far-away octrees, voxelslam.cpp:1786-1833): rebuild any level
@@ -904,7 +973,8 @@ class SlamPipeline:
         evicted = False
         evict_dropped = 0
         if (cfg.map.evict_check_every > 0
-                and self.scan_count % cfg.map.evict_check_every == 0):
+                and self.scan_count % cfg.map.evict_check_every
+                < self._ring_K):
             occ = np.asarray(self._jit_occ_counts(self.levels))
             load = occ / np.array(cfg.map.capacities, np.float64)
             if float(load.max()) > cfg.map.evict_load:
@@ -912,12 +982,10 @@ class SlamPipeline:
                     self.levels, jnp.float32(self.jour))
                 evicted = True
                 evict_dropped = int(np.asarray(edrop).sum())
-
-        return {"phase": "odom", "ok": ok, "matches": int(matches),
-                "nnt_eig0": float(nnt_eig0), "t": t_end,
-                "ba_r0": float(r0), "ba_r1": float(r1),
-                "evicted": evicted, "hash_dropped": hash_dropped,
-                "evict_dropped": evict_dropped}
+        if out is not None:
+            out["evicted"] = evicted
+            out["evict_dropped"] = evict_dropped
+        return out
 
     def apply_correction(self, dx_R: np.ndarray, dx_p: np.ndarray,
                          g_update: bool, map_keyframes) -> None:

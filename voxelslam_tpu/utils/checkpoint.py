@@ -22,7 +22,7 @@ import pickle
 import numpy as np
 import jax
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2   # v2: VoxelLevel noise records win_nv/fix_nv (NV=5)
 
 # attributes that are reconstructed by __init__ and must NOT be
 # serialized (jitted callables capture tracers/devices; caches are
@@ -32,6 +32,9 @@ _SKIP_KEYS = {
     "cfg", "btc_cfg", "noise_meas", "noise_walk", "R_ext", "t_ext",
     "collect_clouds", "_pg_cache", "_step_cache", "_extract",
     "kf_point_max", "_capacity", "_unique_max",
+    # distributed-GBA runtime objects: the mesh references live devices
+    # and the fleet cache holds jitted callables — both reconstructed
+    "mesh", "_fleet_cache", "_fleet_batch",
 }
 
 
