@@ -163,28 +163,30 @@ def dedup_keys(keys: jnp.ndarray, valid: jnp.ndarray, unique_max: int):
     input row to its unique row (or -1 if input invalid / overflow).
     Fixed shapes throughout: sort + neighbor-compare + bounded scatter.
 
-    The sort packs (x, y) into ONE unsigned 32-bit key (x<<16 | y&0xffff)
-    and z into a sign-flipped unsigned key, so grouping costs TWO sort
-    passes instead of four (each lexsort key is a full stable sort on
-    TPU; measured ~1 ms/scan across the three levels). Equal-key rows
-    stay contiguous exactly unless two keys in ONE batch differ by a
-    multiple of 2^16 in both x and y with equal z — physically impossible
-    for a single scan (>= 16 km * voxel_size extent).
+    The sort is keyed primarily by a HASH of the voxel key: when the
+    input has more uniques than `unique_max`, the overflow drops a
+    spatially UNIFORM pseudo-random subset instead of everything past a
+    lexicographic cutoff (which silently discards one side of the scene
+    — keyframe-cloud downsampling overflows routinely and descriptor
+    extraction collapses without this). Ties break on (x,y) packed into
+    one unsigned key and sign-flipped z, so grouping costs THREE sort
+    passes instead of four; equal-key contiguity is exact unless two
+    same-hash keys in one batch differ by a multiple of 2^16 in both x
+    and y with equal z (impossible within one scan's extent).
     """
     N = keys.shape[0]
     big = jnp.where(valid[:, None], keys, jnp.iinfo(jnp.int32).max)
+    h = hash_key(big, 1 << 30)
+    h = jnp.where(valid, h, jnp.iinfo(jnp.int32).max)
     xy = ((big[:, 0].astype(jnp.uint32) << 16)
           | (big[:, 1].astype(jnp.uint32) & 0xFFFF))
     zu = big[:, 2].astype(jnp.uint32) ^ jnp.uint32(0x80000000)
-    # invalid rows sort last
-    xy = jnp.where(valid, xy, jnp.uint32(0xFFFFFFFF))
-    zu = jnp.where(valid, zu, jnp.uint32(0xFFFFFFFF))
-    order = jnp.lexsort((zu, xy))
+    order = jnp.lexsort((zu, xy, h))
     sk = big[order]
-    xys, zus = xy[order], zu[order]
+    hs, xys, zus = h[order], xy[order], zu[order]
     first = jnp.concatenate([
         jnp.array([True]),
-        (xys[1:] != xys[:-1]) | (zus[1:] != zus[:-1]),
+        (hs[1:] != hs[:-1]) | (xys[1:] != xys[:-1]) | (zus[1:] != zus[:-1]),
     ])
     valid_sorted = valid[order]
     first = first & valid_sorted
