@@ -108,3 +108,25 @@ class TestPoseSystemAssembly:
         np.testing.assert_allclose(np.asarray(H), Ho, atol=1e-3)
         np.testing.assert_allclose(np.asarray(g), go, atol=1e-3)
         assert np.isclose(float(chi), float(np.sum(w6 * r * r)), rtol=1e-5)
+
+
+class TestMultihost:
+    def test_single_process_passthrough(self):
+        """ensure_distributed is a safe no-op without a cluster env, and
+        the global mesh spans the virtual devices."""
+        from voxelslam_tpu.parallel import multihost as mh
+        assert mh.ensure_distributed() is False   # no cluster here
+        mesh = mh.global_win_mesh()
+        assert mesh is not None and mesh.axis_names == ("win",)
+        assert mesh.size == len(jax.devices())
+        assert mh.global_win_mesh(min_devices=10 ** 6) is None
+
+    def test_system_uses_global_mesh(self, scene):
+        """SlamSystem wires the multi-device mesh into its HbaRunner."""
+        from voxelslam_tpu.pipeline.system import SlamSystem
+        from voxelslam_tpu.config import small_test_config
+        sysm = SlamSystem(small_test_config(), enable_loop=True,
+                          enable_gba=True)
+        assert sysm.gba is not None
+        assert sysm.gba.mesh is not None
+        assert sysm.gba.mesh.size == len(jax.devices())

@@ -1,3 +1,3 @@
-from . import dist_gba
+from . import dist_gba, multihost
 
-__all__ = ["dist_gba"]
+__all__ = ["dist_gba", "multihost"]

@@ -87,10 +87,5 @@ def make_window_fleet(mesh: Mesh | None, window_step, W: int):
                                  out_specs=out, check_vma=False))
 
 
-def default_mesh(min_devices: int = 2) -> Mesh | None:
-    """A 1-D "win" mesh over all local devices, or None when the host
-    has a single device (single-chip bench / tunneled TPU)."""
-    devs = jax.devices()
-    if len(devs) < min_devices:
-        return None
-    return Mesh(np.array(devs), ("win",))
+# the mesh constructor lives in parallel.multihost (global_win_mesh),
+# which also brings multi-host slices up via jax.distributed

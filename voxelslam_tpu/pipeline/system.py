@@ -59,10 +59,13 @@ class SlamSystem:
         self.gba = None
         if enable_gba and enable_loop:
             from ..gba.hba import HbaRunner
-            from ..parallel.dist_gba import default_mesh
-            # multi-device host: shard bottom-up GBA windows over the
-            # mesh (production distributed path); single chip: inline
-            self.gba = HbaRunner(cfg, mesh=default_mesh())
+            from ..parallel.multihost import ensure_distributed, \
+                global_win_mesh
+            # multi-host slice and/or multi-device host: shard bottom-up
+            # GBA windows over the global mesh (production distributed
+            # path); single chip: inline
+            ensure_distributed()
+            self.gba = HbaRunner(cfg, mesh=global_win_mesh())
         self._gba_consumed: dict[int, int] = {}
         self._emitted = 0
         self._session = 0
