@@ -279,19 +279,36 @@ def transpose_factors(f: FactorBatch):
     return n_l, mu_l, S_l, f.fix.n, fix_mu, fix_S, wgt_base
 
 
+def _rot_t(R, v):
+    """(W,3,3) @ (W,3,F) -> (W,3,F), hand-unrolled over the size-3
+    contraction: a dot_general here makes XLA transpose the factor-minor
+    operand to factor-major (measured ~2.5 ms/scan of relayout copies at
+    full matmul precision); 3 broadcast mult-adds stay one fused VPU
+    pass in true f32."""
+    return sum(R[:, :, j, None] * v[:, None, j] for j in range(3))
+
+
+def _rot_mat_t(R, S):
+    """(W,3,3) @ (W,3,3,F) @ (W,3,3)^T -> (W,3,3,F), unrolled (see
+    _rot_t)."""
+    e = sum(R[:, :, j, None, None] * S[:, None, j] for j in range(3))
+    return sum(e[:, :, None, k, :] * R[:, None, :, k, None]
+               for k in range(3))
+
+
 def _total_clusters_t(ft, Rs, ps, win_mask):
     """total_clusters with factor-minor layouts. Returns
     (n_t (F,), mu_t (3,F), S_t (3,3,F)). All intermediates keep the
     factor axis LAST (TPU lanes) — the (F, W, 3, 3) layouts of the
     F-major version tile-pad their trailing size-3 dims to 128 lanes and
-    relayout-copy to bf16 before every MXU contraction."""
+    relayout-copy before every MXU contraction."""
     n_l, mu_l, S_l, fix_n, fix_mu, fix_S, _ = ft
     m = win_mask
     n_w = n_l * m[:, None]                                   # (W, F)
     # mu_w[w,i,f] = R[w,i,j] mu_l[w,j,f] + p[w,i]
-    mu_w = jnp.einsum("wij,wjf->wif", Rs, mu_l) + ps[:, :, None]
+    mu_w = _rot_t(Rs, mu_l) + ps[:, :, None]
     # S_w[w,i,l,f] = R S R^T
-    S_w = jnp.einsum("wij,wjkf,wlk->wilf", Rs, S_l, Rs)
+    S_w = _rot_mat_t(Rs, S_l)
 
     n_t = fix_n + jnp.sum(n_w, axis=0)                       # (F,)
     inv_n = 1.0 / jnp.maximum(n_t, 1.0)
@@ -352,15 +369,22 @@ def hess_grad_ct_t(ft, Rs0, ps0, win_mask):
     u0 = U[:, 0]                                        # (3, F)
     wgt = wgt_base * (n_t > 0)                          # (F,)
 
-    # rotated eigenvectors b[w,i,k,f] = (R_w^T u_k)_i  (b[:, :, 0] = a)
-    b = jnp.einsum("wji,jkf->wikf", Rs0, U)             # (W, 3, 3, F)
+    # rotated eigenvectors b[w,i,k,f] = (R_w^T u_k)_i  (b[:, :, 0] = a).
+    # All size-3 contractions below are hand-unrolled broadcast
+    # mult-adds: as dot_generals at full matmul precision XLA transposes
+    # the factor-minor (W,3,3,F) operands to factor-major and back
+    # (~2.5 ms/scan of relayout copies inside the LM loop).
+    b = sum(Rs0[:, j, :, None, None] * U[j][None, None]
+            for j in range(3))                          # (W, 3, 3, F)
     a = b[:, :, 0]                                      # (W, 3, F)
-    Sb = jnp.einsum("wilf,wlkf->wikf", S_l, b)          # (W, 3, 3, F)
+    Sb = sum(S_l[:, :, l, None, :] * b[:, None, l]
+             for l in range(3))                         # (W, 3, 3, F)
     Sa = Sb[:, :, 0]
 
     # mw . u_k  (world-frame mean dotted with each eigenvector)
-    mwk = (jnp.einsum("wif,wikf->wkf", mu_l, b)
-           + jnp.einsum("wi,ikf->wkf", ps0, U))         # (W, 3, F)
+    mwk = (sum(mu_l[:, i, None] * b[:, i] for i in range(3))
+           + sum(ps0[:, i, None, None] * U[i][None]
+                 for i in range(3)))                    # (W, 3, F)
     u0mw = mwk[:, 0]                                    # (W, F)
     u0mu = jnp.einsum("if,if->f", mu_t, u0)             # (F,)
     bk = jnp.einsum("if,ikf->kf", mu_t, U)              # (3, F)
