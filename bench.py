@@ -45,8 +45,11 @@ def main():
         odom=OdometryConfig(point_max=4096, imu_max=64),
         lba=LocalBAConfig(factor_max=1024),
     )
-    n_scans = 36
-    warm = 18  # include init + first BA compiles
+    # init fills 10 scans, then 44 steady scans = 11 full K=4 batches —
+    # the last scan triggers a dispatch, so nothing is left queued
+    # (steady dispatch is batched odom.batch_scans scans per device call)
+    n_scans = 54
+    warm = 20  # include init + first BA compiles
 
     traj = sim.make_trajectory(duration=0.2 + 0.1 * (n_scans + 2),
                                speed=1.2, wobble=0.25, yaw_rate=0.3, ramp=1.2)
@@ -78,6 +81,8 @@ def main():
         out = pipe.process_scan(*pkt)
         if k >= warm:
             n_timed += 1
+    import jax
+    jax.block_until_ready(pipe.x)   # charge the final batch's device time
     elapsed = time.time() - t_steady
     fps = n_timed / elapsed
 

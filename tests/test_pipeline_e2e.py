@@ -28,7 +28,7 @@ def e2e_config():
 
 def run_sequence(duration=5.0, scan_hz=10.0, imu_hz=200.0, n_az=110, n_el=12,
                  noise=0.01, speed=1.0, cfg=None, scan_cb=None,
-                 acc_scale=1.0):
+                 acc_scale=1.0, collect_clouds=True):
     """acc_scale: scale applied to the simulated accelerometer stream —
     1/9.8 emulates a g-normalized Livox IMU (reference ekf_imu.hpp:199)."""
     cfg = cfg or e2e_config()
@@ -36,7 +36,7 @@ def run_sequence(duration=5.0, scan_hz=10.0, imu_hz=200.0, n_az=110, n_el=12,
                                wobble=0.25, yaw_rate=0.3, still=0.45)
     normals, dsp = sim.box_room(half_extent=(14.0, 12.0, 3.5),
                                 center=(4.0, 0.0, 1.0))
-    pipe = SlamPipeline(cfg)
+    pipe = SlamPipeline(cfg, collect_clouds=collect_clouds)
 
     dt_scan = 1.0 / scan_hz
     t = 0.2
@@ -182,3 +182,31 @@ def test_e2e_mgsize2_per_scan_v6():
         assert not np.allclose(a.v6, b.v6), (a.v6, b.v6)
         pairs += 1
     assert pairs > 2
+
+
+@pytest.mark.slow
+def test_e2e_batched_dispatch_matches_single():
+    """K-scan fused dispatch (odom.batch_scans=4, one lax.scan'd device
+    call per 4 scans) must reproduce the per-scan dispatch trajectory:
+    the scan body is the same megastep, only the host/device call
+    granularity changes. Poses may differ by fusion-level float noise
+    only. Also exercises the partial-queue drain at flush()."""
+    cfg = e2e_config()   # odom.batch_scans defaults to 4
+    assert cfg.odom.batch_scans == 4
+    cfg1 = dataclasses.replace(
+        cfg, odom=dataclasses.replace(cfg.odom, batch_scans=1))
+    # 3.3 s at 10 Hz = 32 scans: init (10) + 22 steady = 5 full batches
+    # of 4 + a 2-scan partial drained at flush
+    pipe_b, traj, _ = run_sequence(duration=3.3, cfg=cfg,
+                                   collect_clouds=False)
+    pipe_s, _, _ = run_sequence(duration=3.3, cfg=cfg1,
+                                collect_clouds=False)
+    pb, ps = pipe_b.scan_poses, pipe_s.scan_poses
+    assert len(pb) == len(ps) and len(pb) > 20
+    for a, b in zip(pb, ps):
+        assert a.t == b.t
+        np.testing.assert_allclose(a.p, b.p, atol=5e-4)
+        np.testing.assert_allclose(a.R, b.R, atol=5e-4)
+    est = np.stack([sp.p for sp in pb])
+    gt = np.stack([traj.state_at(sp.t)[1] for sp in pb])
+    assert ate_rmse(est, gt) < 0.12

@@ -65,6 +65,14 @@ class OdometryConfig:
     # bookkeeping (pose emission, divergence hysteresis) lags <= ring
     # scans, well under degrade_bound.
     stats_ring: int = 4
+    # scans fused into ONE device call in the steady phase (lax.scan
+    # over the megastep body). Amortizes the per-call dispatch latency
+    # — on tunneled TPU backends one dispatch costs ~a full RTT while
+    # the megastep itself is ~10 ms device-busy, so K=4 nearly halves
+    # the per-scan wall clock. Emission/divergence bookkeeping lag
+    # <= batch_scans + ring scans. 1 = dispatch per scan. Only active
+    # in the steady phase with lba.mgsize == 1.
+    batch_scans: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

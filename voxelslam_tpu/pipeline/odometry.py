@@ -81,10 +81,12 @@ def _pin_window_layouts(levels):
             return a
         return with_layout_constraint(a, lay)
 
-    return [dataclasses.replace(
+    # tuple, not list: the K-scan fused dispatch carries `levels`
+    # through lax.scan, whose carry pytree structure must match
+    return tuple(dataclasses.replace(
         lv, win=jax.tree.map(pin, lv.win), win_nv=pin(lv.win_nv),
         fix=jax.tree.map(pin_fix, lv.fix))
-        for lv in levels]
+        for lv in levels)
 
 
 @dataclasses.dataclass
@@ -151,6 +153,8 @@ class SlamPipeline:
         # XLA and invalidate the pending read (it is ~600 bytes).
         self._jit_megastep = jax.jit(self._steady_megastep,
                                      donate_argnums=(1, 2, 4))
+        self._jit_megastep_k = jax.jit(self._steady_megastep_k,
+                                       donate_argnums=(1, 2, 4))
         self._jit_mega_accum = jax.jit(self._mega_accum,
                                        donate_argnums=(1, 2, 4))
 
@@ -195,6 +199,12 @@ class SlamPipeline:
         self._ring_K = 1 if self.collect_clouds else max(
             1, cfg.odom.stats_ring)
         mg = cfg.lba.mgsize
+        # K-scan fused dispatch (see _steady_megastep_k): only in the
+        # plain steady flow — cloud collection and mgsize>1 need
+        # per-scan host decisions between device calls
+        self._batch_K = 1 if (self.collect_clouds or mg > 1) else max(
+            1, cfg.odom.batch_scans)
+        self._scan_queue: list = []
         self._stats_len = 5 + 31 * mg + 1
         self._stats_ring = jnp.zeros((self._ring_K, self._stats_len))
         self._ring_fill = 0
@@ -408,6 +418,38 @@ class SlamPipeline:
         ring = jax.lax.dynamic_update_slice(ring, stats[None], (slot, 0))
         return (x_out, levels, win_next, mp_new, preints, ring,
                 down, dmask, tr)
+
+    def _steady_megastep_k(self, state, levels, win, mp, preints,
+                           imu_blobs, scan_blobs, scals):
+        """K steady scans in ONE device call: `lax.scan` over the
+        single-scan megastep body. On tunneled backends one dispatch
+        costs ~a full host<->device RTT (~12 ms measured) while the
+        megastep is ~10 ms device-busy — per-scan dispatch leaves the
+        chip idle half the time. Batching K scans amortizes the RTT to
+        RTT/K. Per-scan stats land in a fresh (K, S) stack (row k =
+        scan k; replaces the ring carry) and the downsampled clouds
+        come back stacked (K, P, ...) for one deferred readback.
+
+        imu_blobs: (K, I, 8); scan_blobs: (K, P, 5); scals: (K, 5)
+        with scals[k, 4] = k (the stats row).
+        """
+        K = scals.shape[0]
+        ring0 = jnp.zeros((K, self._stats_len))
+
+        def body(carry, xs):
+            x, levels, win, mp, preints, ring = carry
+            imu_b, scan_b, scal = xs
+            (x, levels, win, mp, preints, ring, down, dmask, tr) = \
+                self._steady_megastep(x, levels, win, mp, preints, ring,
+                                      imu_b, scan_b, scal)
+            return (x, levels, win, mp, preints, ring), (down, dmask, tr)
+
+        carry, ys = jax.lax.scan(
+            body, (state, levels, win, mp, preints, ring0),
+            (imu_blobs, scan_blobs, scals))
+        x, levels, win, mp, preints, ring = carry
+        downs, dmasks, trs = ys
+        return x, levels, win, mp, preints, ring, downs, dmasks, trs
 
     def _mega_accum(self, state, levels, win, mp, preints, imu_blob,
                     scan_blob, scal, frame_idx):
@@ -808,11 +850,19 @@ class SlamPipeline:
         W = cfg.lba.win_size
         mg = cfg.lba.mgsize
 
-        imu_blob = jnp.array(np.concatenate(
+        imu_np = np.concatenate(
             [ts_j[:, None], gyr_j, acc_j, imask[:, None]],
-            axis=1, dtype=np.float32))
-        scan_blob = jnp.array(np.concatenate(
-            [pts_j, off_j[:, None], pmask[:, None]], axis=1, dtype=np.float32))
+            axis=1, dtype=np.float32)
+        scan_np = np.concatenate(
+            [pts_j, off_j[:, None], pmask[:, None]], axis=1,
+            dtype=np.float32)
+
+        if self._batch_K > 1:
+            return self._process_steady_batched(imu_np, scan_np, t_beg,
+                                                t_end, last_end)
+
+        imu_blob = jnp.array(imu_np)
+        scan_blob = jnp.array(scan_np)
         scal = jnp.array([t_beg, t_end, last_end, self.jour,
                           float(self._ring_fill)], jnp.float32)
 
@@ -856,6 +906,87 @@ class SlamPipeline:
             out = {"phase": "odom", "pending": True, "t": t_end}
         return out
 
+    def _process_steady_batched(self, imu_np, scan_np, t_beg, t_end,
+                                last_end):
+        """Steady phase with K-scan fused dispatch: queue the scan; on
+        every `_batch_K`-th scan run ONE `_steady_megastep_k` device
+        call over the whole queue. `jour` is read at dispatch time for
+        all K scans (staleness < K scans of travel; it only stamps
+        voxel creation distances against a ~700 m eviction horizon)."""
+        self._scan_queue.append((imu_np, scan_np, t_beg, t_end, last_end))
+        self._pend_t.append(t_end)
+        self.scan_count += 1
+        if len(self._scan_queue) < self._batch_K:
+            return {"phase": "odom", "pending": True, "t": t_end}
+
+        q, self._scan_queue = self._scan_queue, []
+        t_ends, self._pend_t = self._pend_t, []
+        K = len(q)
+        imu_b = jnp.array(np.stack([e[0] for e in q]))
+        scan_b = jnp.array(np.stack([e[1] for e in q]))
+        scals = jnp.array(
+            [[e[2], e[3], e[4], self.jour, float(k)]
+             for k, e in enumerate(q)], jnp.float32)
+        (x, levels, win, mp, preints, ring, downs, dmasks, trs) = \
+            self._jit_megastep_k(self.x, self.levels, self.win, self.mp,
+                                 self.preints_dev, imu_b, scan_b, scals)
+        self.x = x
+        self.levels = levels
+        self.win = win
+        self.mp = mp
+        self.preints_dev = preints
+
+        # emit the PREVIOUS batch while this one executes (deferred
+        # readback overlaps device time), then rotate the pending buffer
+        out = None
+        if self._pending is not None:
+            out = self._emit_pending()
+        if out is not None and out.get("phase") == "reset":
+            return out
+        cc = self.collect_clouds
+        self._pending = (ring, K, t_ends,
+                         downs if cc else None,
+                         dmasks if cc else None,
+                         trs if cc else None)
+        if out is None:
+            out = {"phase": "odom", "pending": True, "t": t_end}
+        return out
+
+    def _drain_queue_partial(self):
+        """Flush a partially filled scan queue scan-by-scan through the
+        single-scan megastep (the K-batched executable is
+        shape-specialized to `_batch_K`; partial drains happen only at
+        corrections / finish / explicit flush, so they reuse the K=1
+        compile instead of building one per partial length). Sets
+        `_pending` with the drained scans' stats for emission."""
+        q, self._scan_queue = self._scan_queue, []
+        t_ends, self._pend_t = self._pend_t, []
+        rows = []
+        for (imu_np, scan_np, t_beg, t_end, last_end) in q:
+            ring1 = jnp.zeros((1, self._stats_len))
+            scal = jnp.array([t_beg, t_end, last_end, self.jour, 0.0],
+                             jnp.float32)
+            (x, levels, win, mp, preints, ring1, down, dmask, tr) = \
+                self._jit_megastep(self.x, self.levels, self.win, self.mp,
+                                   self.preints_dev, ring1,
+                                   jnp.array(imu_np), jnp.array(scan_np),
+                                   scal)
+            self.x = x
+            self.levels = levels
+            self.win = win
+            self.mp = mp
+            self.preints_dev = preints
+            rows.append((ring1, down, dmask, tr))
+        stats = np.stack([np.asarray(r[0][0]) for r in rows])
+        cc = self.collect_clouds
+        self._pending = (stats, len(q), t_ends,
+                         np.stack([np.asarray(r[1]) for r in rows])
+                         if cc else None,
+                         np.stack([np.asarray(r[2]) for r in rows])
+                         if cc else None,
+                         np.stack([np.asarray(r[3]) for r in rows])
+                         if cc else None)
+
     def _process_steady_accum(self, imu_blob, scan_blob, scal, t_end):
         """Window-refill scan (lba.mgsize > 1, win_count < W-1): one
         fused accumulate call, stats fetched synchronously (no BA, no
@@ -888,11 +1019,19 @@ class SlamPipeline:
                 "hash_dropped": int(st[3])}
 
     def _flush_pending(self):
-        """Force emission of all deferred stats: the fetched-pending
-        batch (if set) AND any partially filled on-device ring."""
+        """Force emission of all deferred state: the fetched-pending
+        batch (if set), any queued-but-undispatched scans, AND any
+        partially filled on-device ring."""
         out = None
         if getattr(self, "_pending", None) is not None:
             out = self._emit_pending()
+            if out is not None and out.get("phase") == "reset":
+                return out
+        if getattr(self, "_scan_queue", None):
+            self._drain_queue_partial()
+            out2 = self._emit_pending()
+            if out2 is not None:
+                out = out2
             if out is not None and out.get("phase") == "reset":
                 return out
         if getattr(self, "_ring_fill", 0) > 0:
@@ -914,6 +1053,10 @@ class SlamPipeline:
         self._pending = None
 
         rows = np.asarray(ring)  # ONE packed device->host fetch
+        if down is not None:
+            down = np.asarray(down)
+            dmask = np.asarray(dmask)
+            tr = np.asarray(tr)
         out = None
         for r in range(fill):
             st = rows[r]
@@ -945,9 +1088,11 @@ class SlamPipeline:
             # marginalized scans, then roll the host-side cloud buffers
             # (clouds are only collected in ring-of-1 mode)
             if self.collect_clouds and down is not None:
-                self.scan_buf[W - 1] = np.asarray(down)
-                self.scan_mask[W - 1] = np.asarray(dmask)
-                self.scan_tr[W - 1] = np.asarray(tr)
+                # batched dispatch stacks per-scan clouds (K, P, ...);
+                # single-scan mode passes one scan's arrays
+                self.scan_buf[W - 1] = down[r] if down.ndim == 3 else down
+                self.scan_mask[W - 1] = dmask[r] if dmask.ndim == 2 else dmask
+                self.scan_tr[W - 1] = tr[r] if tr.ndim == 3 else tr
             for k in range(mg):
                 self.scan_poses.append(ScanPose(
                     t=float(e_t[k]), R=e_R[k], p=e_p[k], v=e_v[k],
