@@ -348,3 +348,77 @@ class TestAnisotropicNoise:
         # isotropic: sigma^2 = tr, cvar = tr / n
         np.testing.assert_allclose(sl[rows[0], 8], 1e-4 / n_vox,
                                    rtol=1e-3)
+
+
+class TestSparseMarginalize:
+    """The touched-slot sparse fold (tsl width > 0) must produce exactly
+    the same fixed statistics as the full-table fold (tsl width 0) —
+    same inserts, same poses, same max_points cap behavior."""
+
+    def _build(self, rng, track: bool):
+        cfg = small_test_config().map
+        W = cfg.win_size
+        lvs = []
+        for l, c in enumerate(cfg.capacities):
+            t = cfg.unique_max[l] if track else 0
+            lvs.append(vm.empty_level(c, W, t))
+        levels = tuple(lvs)
+        Rs, ps, mp = _identity_window(W)
+        Rs = jnp.array(np.stack([
+            np.asarray(so3.exp(jnp.array(rng.normal(0, 0.1, 3),
+                                         jnp.float32)))
+            for _ in range(W)]))
+        ps = jnp.array(rng.normal(0, 0.5, (W, 3)).astype(np.float32))
+        for i in range(3):   # three scans into slots 0..2
+            pts = rng.uniform(-4, 4, (500, 3)).astype(np.float32)
+            wld = pts @ np.asarray(Rs[i]).T + np.asarray(ps[i])
+            levels = vm.insert_scan(levels, cfg, jnp.array(wld),
+                                    jnp.array(pts),
+                                    jnp.full((500,), 1e-4),
+                                    jnp.ones(500), i, jour=float(i))
+        return cfg, levels, Rs, ps, mp
+
+    def test_sparse_fold_matches_full(self, rng):
+        # build both from the SAME rng stream for identical data
+        cfg, lv_t, Rs, ps, mp = self._build(np.random.default_rng(7),
+                                            track=True)
+        _, lv_f, _, _, _ = self._build(np.random.default_rng(7),
+                                       track=False)
+
+        out_t = vm.marginalize(lv_t, cfg, Rs, ps, mp, 3, 2)
+        out_f = vm.marginalize(lv_f, cfg, Rs, ps, mp, 3, 2)
+        for a, b in zip(out_t, out_f):
+            np.testing.assert_allclose(np.asarray(a.fix.n),
+                                       np.asarray(b.fix.n), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(a.fix.mu),
+                                       np.asarray(b.fix.mu), atol=1e-4)
+            np.testing.assert_allclose(np.asarray(a.fix.S),
+                                       np.asarray(b.fix.S), atol=3e-3)
+            np.testing.assert_allclose(np.asarray(a.fix_nv),
+                                       np.asarray(b.fix_nv), atol=1e-4)
+            # window slots 0..1 cleared in both, slot 2 untouched
+            assert float(jnp.sum(a.win.n[mp[0]])) == 0.0
+            assert float(jnp.sum(a.win.n[mp[1]])) == 0.0
+            np.testing.assert_allclose(np.asarray(a.win.n[mp[2]]),
+                                       np.asarray(b.win.n[mp[2]]))
+            # consumed tsl rows reset to the sentinel
+            C = a.keys.shape[0]
+            assert np.all(np.asarray(a.tsl[mp[0]]) == C)
+            assert np.all(np.asarray(a.tsl[mp[1]]) == C)
+
+    def test_max_points_cap_respected(self, rng):
+        """Voxels whose fixed count is already >= max_points must not
+        absorb the fold (reference margi cap, voxel_map.hpp:1476)."""
+        import dataclasses as dc
+        cfg, lv_t, Rs, ps, mp = self._build(np.random.default_rng(3),
+                                            track=True)
+        # saturate every fixed count past the cap
+        lv_sat = tuple(
+            dc.replace(l, fix=dc.replace(l.fix,
+                                         n=jnp.full_like(l.fix.n, 1e6)))
+            for l in lv_t)
+        out = vm.marginalize(lv_sat, cfg, Rs, ps, mp, 3, 1)
+        # counts unchanged (no fold happened)
+        for a, b in zip(out, lv_sat):
+            np.testing.assert_array_equal(np.asarray(a.fix.n),
+                                          np.asarray(b.fix.n))

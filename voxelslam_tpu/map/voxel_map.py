@@ -89,7 +89,7 @@ NV = 5  # noise-record channels: [sum a*rhat (3), sum a, sum b]
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["keys", "occ", "win", "win_nv", "fix", "fix_nv",
-                      "state", "slab", "lam", "jour"],
+                      "state", "slab", "lam", "jour", "tsl"],
          meta_fields=[])
 @dataclasses.dataclass
 class VoxelLevel:
@@ -103,6 +103,13 @@ class VoxelLevel:
     slab: jnp.ndarray      # (C, SLAB) packed match record
     lam: jnp.ndarray       # (C, 3) eigenvalues of normalized cov
     jour: jnp.ndarray      # (C,) travel-distance stamp at creation
+    tsl: jnp.ndarray       # (W, T) int32 touched-slot list per window
+                           # slot (sentinel C = unused row; T = the
+                           # level's unique_max, or T = 0 = tracking
+                           # off). Invariant: win[w] is nonzero ONLY at
+                           # slots listed in tsl[w] — maintained by
+                           # insert (one scan per cleared slot),
+                           # marginalize (clears), evict (remaps).
 
     # --- derived accessors (kept for tests / introspection) -----------
     @property
@@ -118,7 +125,12 @@ class VoxelLevel:
         return self.slab[:, _S_RADIUS]
 
 
-def empty_level(capacity: int, win_size: int) -> VoxelLevel:
+def empty_level(capacity: int, win_size: int,
+                track_max: int = 0) -> VoxelLevel:
+    """track_max: touched-slot list width (= the level's per-scan
+    unique_max). 0 disables tracking — marginalize falls back to the
+    full-table pass (used by the GBA window maps, which never
+    marginalize)."""
     keys, occ = vh.empty_table(capacity)
     C = capacity
     return VoxelLevel(
@@ -131,6 +143,7 @@ def empty_level(capacity: int, win_size: int) -> VoxelLevel:
         slab=jnp.zeros((C, SLAB)),
         lam=jnp.zeros((C, 3)),
         jour=jnp.zeros((C,)),
+        tsl=jnp.full((win_size, track_max), C, jnp.int32),
     )
 
 
@@ -158,7 +171,8 @@ def point_noise_record(pts_body: jnp.ndarray, dept_err: float,
 
 
 def empty_map(cfg: MapConfig):
-    return tuple(empty_level(c, cfg.win_size) for c in cfg.capacities)
+    return tuple(empty_level(c, cfg.win_size, cfg.unique_max[l])
+                 for l, c in enumerate(cfg.capacities))
 
 
 # ---------------------------------------------------------------------------
@@ -178,6 +192,7 @@ def insert_scan_level(lv: VoxelLevel, level_size: float, unique_max: int,
     pathologies are observable). `_pre` optionally carries precomputed
     (uniq, uvalid, inv, tkeys, occ, uslots)."""
     C = lv.keys.shape[0]
+    W = lv.win.n.shape[0]
     if _pre is None:
         keys = vh.voxel_key(pts_world, level_size)
         unique_max = min(unique_max, pts_world.shape[0])
@@ -187,28 +202,60 @@ def insert_scan_level(lv: VoxelLevel, level_size: float, unique_max: int,
     else:
         uniq, uvalid, inv, tkeys, occ, uslots = _pre
         occ_before = lv.occ
+    U = uslots.shape[0]
 
+    # --- per-UNIQUE scan statistics (U-sized, not C-sized): scatter by
+    # the dedup inverse; unique rows whose table insert dropped fall out
+    # at the write-back below
     nv_pt = expand_noise(tr_pt)
-    pslot = jnp.where(inv >= 0, uslots[jnp.maximum(inv, 0)], -1)
-    ok = (mask > 0) & (pslot >= 0)
-    # barrier: see insert_fixed_level (scatter fusion assertion)
-    seg, w, pslot = jax.lax.optimization_barrier(
-        (jnp.where(ok, pslot, C), ok.astype(pts_local.dtype), pslot))
-
-    n_add = jnp.zeros((C,)).at[seg].add(w, mode="drop")
-    sum_p = jnp.zeros((C, 3)).at[seg].add(pts_local * w[:, None], mode="drop")
+    ok = (mask > 0) & (inv >= 0)
+    seg, w = jax.lax.optimization_barrier(
+        (jnp.where(ok, inv, U), ok.astype(pts_local.dtype)))
+    n_add = jnp.zeros((U,)).at[seg].add(w, mode="drop")
+    sum_p = jnp.zeros((U, 3)).at[seg].add(pts_local * w[:, None], mode="drop")
     mu_add = sum_p / jnp.maximum(n_add, 1.0)[:, None]
-    d = (pts_local - mu_add[jnp.maximum(pslot, 0)]) * w[:, None]
-    S_add = jnp.zeros((C, 3, 3)).at[seg].add(
+    d = (pts_local - mu_add[jnp.clip(inv, 0, U - 1)]) * w[:, None]
+    S_add = jnp.zeros((U, 3, 3)).at[seg].add(
         d[:, :, None] * d[:, None, :], mode="drop")
-    nv_add = jnp.zeros((C, NV)).at[seg].add(nv_pt * w[:, None], mode="drop")
-
+    nv_add = jnp.zeros((U, NV)).at[seg].add(nv_pt * w[:, None], mode="drop")
     added = Cluster(n=n_add, mu=mu_add, S=S_add)
-    col = lv.win[frame_slot]
-    merged = cl.merge(col, added)
-    win = jax.tree.map(lambda full, new: full.at[frame_slot].set(new),
-                       lv.win, merged)
-    win_nv = lv.win_nv.at[frame_slot].add(nv_add)
+
+    # --- merge into the window column at the claimed slots only: the
+    # (W, C) leaves flatten to (W*C) rows so a 1-D row gather/scatter at
+    # frame_slot*C + slot replaces the full-column read-modify-write
+    row_ok = uvalid & (uslots >= 0)
+    su = jnp.clip(jnp.where(row_ok, uslots, 0), 0, C - 1)
+    flat = frame_slot * C + su
+    win_flat = jax.tree.map(
+        lambda a: a.reshape((W * C,) + a.shape[2:]), lv.win)
+    col_u = jax.tree.map(lambda a: a[flat], win_flat)
+    nv_u = lv.win_nv.reshape((W * C, NV))[flat]
+    merged = cl.merge(col_u, added)
+    nv_new = nv_u + nv_add
+    # barrier: see insert_fixed_level (scatter fusion assertion)
+    tgt, m_n, m_mu, m_S, nv_new = jax.lax.optimization_barrier(
+        (jnp.where(row_ok, flat, W * C), merged.n, merged.mu, merged.S,
+         nv_new))
+    win_flat = Cluster(
+        n=win_flat.n.at[tgt].set(m_n, mode="drop"),
+        mu=win_flat.mu.at[tgt].set(m_mu, mode="drop"),
+        S=win_flat.S.at[tgt].set(m_S, mode="drop"))
+    win = jax.tree.map(lambda a, b: a.reshape(b.shape), win_flat, lv.win)
+    win_nv = lv.win_nv.reshape((W * C, NV)).at[tgt].set(
+        nv_new, mode="drop").reshape(lv.win_nv.shape)
+
+    # touched-slot list for sparse marginalization (pad to the tracked
+    # width when this scan's unique cap is smaller)
+    tsl = lv.tsl
+    T = tsl.shape[1]
+    if T:
+        row = jnp.where(row_ok, uslots, C)
+        if U < T:
+            row = jnp.concatenate(
+                [row, jnp.full((T - U,), C, jnp.int32)])
+        elif U > T:  # cannot track: disable sparse fold for this level
+            row = row[:T]
+        tsl = tsl.at[frame_slot].set(row)
 
     # stamp journey distance on newly created voxels
     newly = uvalid & (uslots >= 0) & ~occ_before[jnp.maximum(uslots, 0)]
@@ -216,7 +263,7 @@ def insert_scan_level(lv: VoxelLevel, level_size: float, unique_max: int,
         jnp.float32(jour), mode="drop")
 
     lv = dataclasses.replace(lv, keys=tkeys, occ=occ, win=win,
-                             win_nv=win_nv, jour=jour_arr)
+                             win_nv=win_nv, jour=jour_arr, tsl=tsl)
     dropped = jnp.sum((uvalid & (uslots < 0)).astype(jnp.int32))
     return lv, uslots, uvalid & (uslots >= 0), dropped
 
@@ -258,25 +305,37 @@ def insert_fixed_level(lv: VoxelLevel, level_size: float, unique_max: int,
     occ_before = lv.occ
     tkeys, occ, uslots = vh.insert(lv.keys, lv.occ, uniq, uvalid)
 
+    U = uslots.shape[0]
+    # per-unique accumulation by the dedup inverse (U-sized), then a
+    # row gather/merge/scatter on the claimed fix slots — same sparse
+    # pattern as insert_scan_level
     nv_pt = expand_noise(tr_pt)
-    pslot = jnp.where(inv >= 0, uslots[jnp.maximum(inv, 0)], -1)
-    ok = (mask > 0) & (pslot >= 0)
+    ok = (mask > 0) & (inv >= 0)
     # barrier: indices (seg) and update weights (w) share the `ok`
     # producer; fusing it into two operands of one scatter trips an
     # XLA:TPU fusion assertion (scatter_emitter.cc)
-    seg, w, pslot = jax.lax.optimization_barrier(
-        (jnp.where(ok, pslot, C), ok.astype(pts_world.dtype), pslot))
-
-    n_add = jnp.zeros((C,)).at[seg].add(w, mode="drop")
-    sum_p = jnp.zeros((C, 3)).at[seg].add(pts_world * w[:, None], mode="drop")
+    seg, w = jax.lax.optimization_barrier(
+        (jnp.where(ok, inv, U), ok.astype(pts_world.dtype)))
+    n_add = jnp.zeros((U,)).at[seg].add(w, mode="drop")
+    sum_p = jnp.zeros((U, 3)).at[seg].add(pts_world * w[:, None], mode="drop")
     mu_add = sum_p / jnp.maximum(n_add, 1.0)[:, None]
-    d = (pts_world - mu_add[jnp.maximum(pslot, 0)]) * w[:, None]
-    S_add = jnp.zeros((C, 3, 3)).at[seg].add(
+    d = (pts_world - mu_add[jnp.clip(inv, 0, U - 1)]) * w[:, None]
+    S_add = jnp.zeros((U, 3, 3)).at[seg].add(
         d[:, :, None] * d[:, None, :], mode="drop")
-    nv_add = jnp.zeros((C, NV)).at[seg].add(nv_pt * w[:, None], mode="drop")
+    nv_add = jnp.zeros((U, NV)).at[seg].add(nv_pt * w[:, None], mode="drop")
 
-    fix = cl.merge(lv.fix, Cluster(n=n_add, mu=mu_add, S=S_add))
-    fix_nv = lv.fix_nv + nv_add
+    row_ok = uvalid & (uslots >= 0)
+    su = jnp.clip(jnp.where(row_ok, uslots, 0), 0, C - 1)
+    f_u = lv.fix[su]
+    merged = cl.merge(f_u, Cluster(n=n_add, mu=mu_add, S=S_add))
+    nv_new = lv.fix_nv[su] + nv_add
+    tgt, m_n, m_mu, m_S, nv_new = jax.lax.optimization_barrier(
+        (jnp.where(row_ok, su, C), merged.n, merged.mu, merged.S, nv_new))
+    fix = Cluster(
+        n=lv.fix.n.at[tgt].set(m_n, mode="drop"),
+        mu=lv.fix.mu.at[tgt].set(m_mu, mode="drop"),
+        S=lv.fix.S.at[tgt].set(m_S, mode="drop"))
+    fix_nv = lv.fix_nv.at[tgt].set(nv_new, mode="drop")
 
     newly = uvalid & (uslots >= 0) & ~occ_before[jnp.maximum(uslots, 0)]
     jour_arr = lv.jour.at[jnp.where(newly, uslots, C)].set(
@@ -549,36 +608,84 @@ def match_points(levels, cfg: MapConfig, pts_world: jnp.ndarray,
 def marginalize_level(lv: VoxelLevel, cfg: MapConfig, Rs, ps, mp,
                       win_count, mgsize: int) -> VoxelLevel:
     """Fold the oldest `mgsize` window frames into the fixed statistics
-    (until the max_points cap), then clear those window slots."""
-    moved = Cluster.empty((lv.keys.shape[0],))
-    nv_m = jnp.zeros_like(lv.fix_nv)
-    for i in range(mgsize):
-        c_w = cl.transform(lv.win[mp[i]], Rs[i], ps[i])
-        moved = cl.merge(moved, c_w)
-        nv_i = lv.win_nv[mp[i]]
-        # direction channel rotates local -> world with the frame pose
-        nv_m = nv_m + jnp.concatenate(
-            [jnp.einsum("ij,bj->bi", Rs[i], nv_i[:, 0:3]),
-             nv_i[:, 3:5]], axis=-1)
+    (until the max_points cap), then clear those window slots.
 
-    take = lv.fix.n < cfg.max_points
-    folded = cl.merge(lv.fix, moved)
-    fix = Cluster(
-        n=jnp.where(take, folded.n, lv.fix.n),
-        mu=jnp.where(take[:, None], folded.mu, lv.fix.mu),
-        S=jnp.where(take[:, None, None], folded.S, lv.fix.S),
-    )
-    fix_nv = jnp.where(take[:, None], lv.fix_nv + nv_m, lv.fix_nv)
+    With touched-slot tracking on (tsl width > 0) the fold is SPARSE:
+    each marginalized frame's window column is nonzero only at the <= T
+    slots its one scan touched (see the tsl invariant on VoxelLevel),
+    so the transform/merge/cap runs on a (T,) gather instead of three
+    full-(C,) passes. The column clear stays a full zero write — pure
+    store, and it keeps the invariant self-healing."""
+    C = lv.keys.shape[0]
+    W = lv.win.n.shape[0]
+    T = lv.tsl.shape[1]
 
-    win, win_nv = lv.win, lv.win_nv
+    if T == 0:
+        # untracked level (GBA window maps): original full-table fold
+        moved = Cluster.empty((C,))
+        nv_m = jnp.zeros_like(lv.fix_nv)
+        for i in range(mgsize):
+            c_w = cl.transform(lv.win[mp[i]], Rs[i], ps[i])
+            moved = cl.merge(moved, c_w)
+            nv_i = lv.win_nv[mp[i]]
+            nv_m = nv_m + jnp.concatenate(
+                [jnp.einsum("ij,bj->bi", Rs[i], nv_i[:, 0:3]),
+                 nv_i[:, 3:5]], axis=-1)
+        take = lv.fix.n < cfg.max_points
+        folded = cl.merge(lv.fix, moved)
+        fix = Cluster(
+            n=jnp.where(take, folded.n, lv.fix.n),
+            mu=jnp.where(take[:, None], folded.mu, lv.fix.mu),
+            S=jnp.where(take[:, None, None], folded.S, lv.fix.S),
+        )
+        fix_nv = jnp.where(take[:, None], lv.fix_nv + nv_m, lv.fix_nv)
+    else:
+        fix, fix_nv = lv.fix, lv.fix_nv
+        win_flat = jax.tree.map(
+            lambda a: a.reshape((W * C,) + a.shape[2:]), lv.win)
+        nvw_flat = lv.win_nv.reshape((W * C, NV))
+        for i in range(mgsize):
+            row = lv.tsl[mp[i]]                      # (T,) slot ids
+            sv = row < C
+            si = jnp.where(sv, row, 0)
+            svf = sv.astype(fix.mu.dtype)
+            flat = mp[i] * C + si
+            c_l = jax.tree.map(lambda a: a[flat], win_flat)
+            c_l = Cluster(n=c_l.n * svf, mu=c_l.mu * svf[:, None],
+                          S=c_l.S * svf[:, None, None])
+            c_w = cl.transform(c_l, Rs[i], ps[i])
+            nv_i = nvw_flat[flat] * svf[:, None]
+            nv_w = jnp.concatenate(
+                [jnp.einsum("ij,bj->bi", Rs[i], nv_i[:, 0:3]),
+                 nv_i[:, 3:5]], axis=-1)
+            f_u = fix[si]
+            fnv_u = fix_nv[si]
+            take = f_u.n < cfg.max_points
+            folded = cl.merge(f_u, c_w)
+            new_n = jnp.where(take, folded.n, f_u.n)
+            new_mu = jnp.where(take[:, None], folded.mu, f_u.mu)
+            new_S = jnp.where(take[:, None, None], folded.S, f_u.S)
+            new_nv = jnp.where(take[:, None], fnv_u + nv_w, fnv_u)
+            # barrier: see voxel_hash.insert (scatter fusion assertion)
+            tgt, new_n, new_mu, new_S, new_nv = jax.lax.optimization_barrier(
+                (jnp.where(sv, si, C), new_n, new_mu, new_S, new_nv))
+            fix = Cluster(
+                n=fix.n.at[tgt].set(new_n, mode="drop"),
+                mu=fix.mu.at[tgt].set(new_mu, mode="drop"),
+                S=fix.S.at[tgt].set(new_S, mode="drop"))
+            fix_nv = fix_nv.at[tgt].set(new_nv, mode="drop")
+
+    win, win_nv, tsl = lv.win, lv.win_nv, lv.tsl
     for i in range(mgsize):
         win = jax.tree.map(
             lambda full: full.at[mp[i]].set(jnp.zeros_like(full[mp[i]])),
             win)
         win_nv = win_nv.at[mp[i]].set(0.0)
+        if T:
+            tsl = tsl.at[mp[i]].set(C)
 
     return dataclasses.replace(lv, fix=fix, fix_nv=fix_nv, win=win,
-                               win_nv=win_nv)
+                               win_nv=win_nv, tsl=tsl)
 
 
 def marginalize(levels, cfg: MapConfig, Rs, ps, mp, win_count, mgsize: int):
@@ -620,6 +727,13 @@ def evict_level(lv: VoxelLevel, jour_now, max_dist: float):
         kk = keep.reshape((1, -1) + (1,) * (src.ndim - 2))
         return z.at[:, tgt].set(jnp.where(kk, src, 0.0), mode="drop")
 
+    # touched-slot lists hold OLD slot ids: remap through the rehash
+    # (dropped/evicted voxels -> sentinel C)
+    remap = jnp.concatenate(
+        [jnp.where(keep & (slots >= 0), slots, C),
+         jnp.full((1,), C, jnp.int32)])
+    tsl_new = remap[jnp.clip(lv.tsl, 0, C)] if lv.tsl.shape[1] else lv.tsl
+
     return VoxelLevel(
         keys=nkeys, occ=nocc,
         win=jax.tree.map(perm_w, lv.win),
@@ -630,6 +744,7 @@ def evict_level(lv: VoxelLevel, jour_now, max_dist: float):
         slab=perm(lv.slab),
         lam=perm(lv.lam),
         jour=perm(lv.jour),
+        tsl=tsl_new,
     ), dropped
 
 

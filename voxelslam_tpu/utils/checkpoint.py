@@ -22,7 +22,8 @@ import pickle
 import numpy as np
 import jax
 
-FORMAT_VERSION = 2   # v2: VoxelLevel noise records win_nv/fix_nv (NV=5)
+FORMAT_VERSION = 3   # v3: VoxelLevel touched-slot lists (tsl)
+                     # v2: VoxelLevel noise records win_nv/fix_nv (NV=5)
 
 # attributes that are reconstructed by __init__ and must NOT be
 # serialized (jitted callables capture tracers/devices; caches are
