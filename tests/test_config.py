@@ -44,6 +44,9 @@ def test_preset_reference_values():
     assert fly.gba.voxel_size == 15.0            # avia_fly.yaml GBA
     assert fly.map.voxel_size == 4.0
     assert fly.odom.degrade_bound == 100
+    # aerial candidate budget 20 -> 100 (reference BTC.cpp:62)
+    assert fly.loop.candidate_num == 100
+    assert preset("avia").loop.candidate_num == 20
 
     velo = preset("velodyne")
     assert velo.odom.blind == 2.8

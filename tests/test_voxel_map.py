@@ -406,6 +406,37 @@ class TestSparseMarginalize:
             assert np.all(np.asarray(a.tsl[mp[0]]) == C)
             assert np.all(np.asarray(a.tsl[mp[1]]) == C)
 
+    def test_cap_straddle_mgsize2_matches_full(self, rng):
+        """mgsize=2 with fixed counts straddling max_points: the cap is
+        checked once against PRE-fold counts (reference margi,
+        voxel_map.hpp:1543), so a voxel pushed past the cap by frame 0
+        must still absorb frame 1 — sparse and full paths must agree."""
+        import dataclasses as dc
+        cfg, lv_t, Rs, ps, mp = self._build(np.random.default_rng(11),
+                                            track=True)
+        _, lv_f, _, _, _ = self._build(np.random.default_rng(11),
+                                       track=False)
+        # preset fixed counts just below the cap so one frame's fold
+        # crosses it (points-per-voxel here is far below max_points)
+        def straddle(lvs):
+            return tuple(
+                dc.replace(l, fix=dc.replace(
+                    l.fix, n=jnp.where(jnp.sum(l.win.n, 0) > 0,
+                                       jnp.float32(cfg.max_points - 1),
+                                       l.fix.n)))
+                for l in lvs)
+        out_t = vm.marginalize(straddle(lv_t), cfg, Rs, ps, mp, 3, 2)
+        out_f = vm.marginalize(straddle(lv_f), cfg, Rs, ps, mp, 3, 2)
+        for a, b in zip(out_t, out_f):
+            np.testing.assert_allclose(np.asarray(a.fix.n),
+                                       np.asarray(b.fix.n), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(a.fix.mu),
+                                       np.asarray(b.fix.mu), atol=1e-4)
+            np.testing.assert_allclose(np.asarray(a.fix_nv),
+                                       np.asarray(b.fix_nv), atol=1e-4)
+            # the straddled voxels actually absorbed BOTH frames
+            assert float(jnp.max(a.fix.n)) > cfg.max_points
+
     def test_max_points_cap_respected(self, rng):
         """Voxels whose fixed count is already >= max_points must not
         absorb the fold (reference margi cap, voxel_map.hpp:1476)."""

@@ -245,7 +245,8 @@ _PRESETS = {
         lba=LocalBAConfig(noise_gyr=0.01, noise_acc=1.0, imu_coef=1e-4),
         loop=LoopConfig(jud_default=0.4, icp_eigval=9.0,
                         ratio_drift=0.01, curr_halt=10, prev_halt=10,
-                        acsize=2, mgsize=2, is_high_fly=True),
+                        acsize=2, mgsize=2, is_high_fly=True,
+                        candidate_num=100),   # aerial budget, BTC.cpp:62
         gba=GBAConfig(voxel_size=15.0, min_eigen_value=10.0,
                       eigen_value_thr=0.5, total_max_iter=10),
         lidar_type="livox",

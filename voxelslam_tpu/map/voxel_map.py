@@ -253,8 +253,14 @@ def insert_scan_level(lv: VoxelLevel, level_size: float, unique_max: int,
         if U < T:
             row = jnp.concatenate(
                 [row, jnp.full((T - U,), C, jnp.int32)])
-        elif U > T:  # cannot track: disable sparse fold for this level
-            row = row[:T]
+        elif U > T:
+            # slots beyond T would hold window stats invisible to the
+            # sparse marginalize (silently discarded at the column
+            # clear). U and T are static — fail loudly instead.
+            raise ValueError(
+                f"insert_scan_level: scan unique cap U={U} exceeds the "
+                f"touched-slot track width T={T}; size tsl to "
+                f"unique_max or disable tracking (T=0) for this level")
         tsl = tsl.at[frame_slot].set(row)
 
     # stamp journey distance on newly created voxels
@@ -641,6 +647,11 @@ def marginalize_level(lv: VoxelLevel, cfg: MapConfig, Rs, ps, mp,
         fix_nv = jnp.where(take[:, None], lv.fix_nv + nv_m, lv.fix_nv)
     else:
         fix, fix_nv = lv.fix, lv.fix_nv
+        # the max_points cap is checked ONCE against the PRE-fold counts
+        # (reference margi checks before folding, voxel_map.hpp:1543):
+        # with mgsize > 1 a slot pushed past the cap by frame 0 must
+        # still absorb frame 1's points, like the T==0 path below
+        pre_n = lv.fix.n
         win_flat = jax.tree.map(
             lambda a: a.reshape((W * C,) + a.shape[2:]), lv.win)
         nvw_flat = lv.win_nv.reshape((W * C, NV))
@@ -660,7 +671,7 @@ def marginalize_level(lv: VoxelLevel, cfg: MapConfig, Rs, ps, mp,
                  nv_i[:, 3:5]], axis=-1)
             f_u = fix[si]
             fnv_u = fix_nv[si]
-            take = f_u.n < cfg.max_points
+            take = pre_n[si] < cfg.max_points
             folded = cl.merge(f_u, c_w)
             new_n = jnp.where(take, folded.n, f_u.n)
             new_mu = jnp.where(take[:, None], folded.mu, f_u.mu)

@@ -1117,9 +1117,12 @@ class SlamPipeline:
         # > evict_dist of travel behind
         evicted = False
         evict_dropped = 0
+        # emission lands every max(ring, batch) scans: the window must
+        # cover the actual emission stride or aligned hits get skipped
+        # systematically when batch_scans != stats_ring
         if (cfg.map.evict_check_every > 0
                 and self.scan_count % cfg.map.evict_check_every
-                < self._ring_K):
+                < max(self._ring_K, self._batch_K)):
             occ = np.asarray(self._jit_occ_counts(self.levels))
             load = occ / np.array(cfg.map.capacities, np.float64)
             if float(load.max()) > cfg.map.evict_load:
