@@ -164,6 +164,131 @@ class TestPoseGraph:
         assert drift1 < 0.2 * drift0
 
 
+def _drifted_multisession(n_per_session, n_loop_edges, yaw_bias=0.002,
+                          seed=0):
+    """Sessions of drifted circle trajectories + loop edges carrying the
+    TRUE relative poses; ground truth is shared so cross-session edges
+    are consistent. Returns a populated LoopPipeline."""
+    from voxelslam_tpu.config import small_test_config
+    from voxelslam_tpu.pipeline.loop import LoopPipeline, LoopEdge
+    from voxelslam_tpu.pipeline.odometry import ScanPose
+
+    rng = np.random.default_rng(seed)
+    lp = LoopPipeline(small_test_config())
+    radius = 20.0
+    total = sum(n_per_session)
+    th_all = np.linspace(0, 4 * np.pi, total)
+    gt_R_all, gt_p_all = [], []
+    for a in th_all:
+        gt_R_all.append(np.array(
+            [[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0],
+             [0, 0, 1.0]]))
+        gt_p_all.append(np.array([radius * np.sin(a),
+                                  radius * (1 - np.cos(a)), 0.0]))
+    bias = np.asarray(sim._exp(np.array([0, 0, yaw_bias])))
+    k0 = 0
+    for s, n_s in enumerate(n_per_session):
+        lp.new_session()
+        est_R = gt_R_all[k0].copy()
+        est_p = gt_p_all[k0].copy()
+        for i in range(n_s):
+            k = k0 + i
+            if i > 0:
+                rel_R = gt_R_all[k - 1].T @ gt_R_all[k] @ bias
+                rel_p = gt_R_all[k - 1].T @ (gt_p_all[k] - gt_p_all[k - 1])
+                est_p = est_p + est_R @ rel_p
+                est_R = est_R @ rel_R
+            lp.scan_poses[s].append(ScanPose(
+                t=0.1 * k, R=est_R.copy(), p=est_p.copy(),
+                v=np.zeros(3), v6=np.full(6, 1e-4),
+                cloud=np.zeros((2, 3), np.float32),
+                cloud_mask=np.ones(2, np.float32), session=s))
+        k0 += n_s
+    # loop edges with TRUE relative poses between random scan pairs
+    offsets = np.cumsum([0] + list(n_per_session))
+    for _ in range(n_loop_edges):
+        sa, sb = rng.integers(0, len(n_per_session), 2)
+        oa = int(rng.integers(0, n_per_session[sa]))
+        ob = int(rng.integers(0, n_per_session[sb]))
+        ga, gb = offsets[sa] + oa, offsets[sb] + ob
+        if ga == gb:
+            continue
+        rel_R = gt_R_all[ga].T @ gt_R_all[gb]
+        rel_p = gt_R_all[ga].T @ (gt_p_all[gb] - gt_p_all[ga])
+        lp.lp_edges.append(LoopEdge(
+            id_a=int(sa), id_b=int(sb), ord_a=oa, ord_b=ob,
+            R=rel_R, t=rel_p, v6=np.full(6, 1e-6)))
+    lp.graph_ids = list(range(len(n_per_session)))
+    return lp, gt_R_all, gt_p_all, offsets
+
+
+def _ate(lp, gt_p_all, offsets):
+    err = []
+    for s in range(len(lp.scan_poses)):
+        for i, sp in enumerate(lp.scan_poses[s]):
+            err.append(np.linalg.norm(sp.p - gt_p_all[offsets[s] + i]))
+    return float(np.sqrt(np.mean(np.square(err))))
+
+
+def _loop_resid(lp):
+    """Mean translation residual over the loop constraints — the
+    quantity a PGO burst must drive to ~zero."""
+    r = []
+    for e in lp.lp_edges:
+        a = lp.scan_poses[e.id_a][e.ord_a]
+        b = lp.scan_poses[e.id_b][e.ord_b]
+        r.append(np.linalg.norm(a.R.T @ (b.p - a.p) - e.t))
+    return float(np.mean(r))
+
+
+class TestCondensedPoseGraph:
+    """Anchor condensation (loop/condense.py) vs the dense all-scans GN:
+    both must bend the drifted trajectory back; at small scale they must
+    agree; at reference scale (20k scans, 3 sessions, 50 loop edges) the
+    condensed path must run in seconds with a bounded anchor solve."""
+
+    def test_condensed_matches_dense_small(self):
+        lpd, gtR, gtp, offs = _drifted_multisession([60, 60], 6, seed=3)
+        lpc, _, _, _ = _drifted_multisession([60, 60], 6, seed=3)
+        r0 = _loop_resid(lpd)
+        lpd.dense_anchor_max = 10 ** 9    # all scans are anchors
+        lpc.dense_anchor_max = 0          # force condensation
+        lpd._optimize(g_update=False)
+        lpc._optimize(g_update=False)
+        # both drive the loop constraints to ~zero
+        assert _loop_resid(lpd) < 0.05 * r0
+        assert _loop_resid(lpc) < 0.05 * r0
+        # condensed interiors agree with the dense solution (chain
+        # elimination is exact to first order; the geodesic-blend
+        # interior recovery differs from the relinearized dense optimum
+        # by O(drift^2) mid-segment — drift here is 1.5 m)
+        diffs = [np.linalg.norm(a.p - b.p)
+                 for s in range(2)
+                 for a, b in zip(lpd.scan_poses[s], lpc.scan_poses[s])]
+        assert max(diffs) < 0.25
+        assert float(np.mean(diffs)) < 0.06
+        # and ATE does not regress
+        assert _ate(lpc, gtp, offs) < 1.02 * _ate(lpd, gtp, offs) + 0.05
+
+    @pytest.mark.slow
+    def test_pose_graph_scales_20k(self):
+        """VERDICT r3 done-criterion: 20k scans / 3 sessions / 50 loop
+        edges solves in seconds with bounded memory (the old dense GN
+        would need a 98304^2 normal matrix)."""
+        import time
+        lp, gtR, gtp, offs = _drifted_multisession(
+            [7000, 7000, 6000], 50, yaw_bias=0.0004, seed=1)
+        r0 = _loop_resid(lp)
+        t0 = time.time()
+        lp._optimize(g_update=False)
+        dt = time.time() - t0
+        assert _loop_resid(lp) < 0.05 * r0
+        # one bounded-size solver compile; anchors ~= 2*edges + ends
+        (K, E), = lp._pg_cache.keys()
+        assert K <= 256 and E <= 256
+        assert dt < 120.0   # host: chain prefix + one small dense solve
+
+
 class TestKeyframeConsumption:
     """Keyframe `exist` semantics: consumption is one-way (reference
     voxelslam.cpp:2602-2647 only ever clears exist, never re-arms), so

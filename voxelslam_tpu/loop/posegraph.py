@@ -131,6 +131,80 @@ def solve_pose_graph(R, p, i_idx, j_idx, rel_R, rel_p, info,
     return R, p, chis[-1]
 
 
+def assemble_pose_system_full(i_idx, j_idx, r, Ji, Jj, W6, K: int,
+                              chunk: int = 512):
+    """assemble_pose_system with FULL 6x6 per-edge information matrices
+    (condensed chain segments carry adjoint-propagated covariances whose
+    inverse is not diagonal — loop/condense.py). Same one-hot matmul
+    strip assembly; the row weighting becomes a 6x6 matmul per edge.
+
+    W6: (E, 6, 6) symmetric PSD information (zero matrix = dead edge).
+    Returns (H (6K, 6K), g (6K,), chi2)."""
+    E = i_idx.shape[0]
+    n = 6 * K
+    chunk = min(chunk, E) or 1
+    pad = (-E) % chunk
+    dt = Ji.dtype
+    if pad:
+        zi = jnp.zeros((pad,), i_idx.dtype)
+        i_idx = jnp.concatenate([i_idx, zi])
+        j_idx = jnp.concatenate([j_idx, zi])
+        r = jnp.concatenate([r, jnp.zeros((pad, 6), dt)])
+        Ji = jnp.concatenate([Ji, jnp.zeros((pad, 6, 6), dt)])
+        Jj = jnp.concatenate([Jj, jnp.zeros((pad, 6, 6), dt)])
+        W6 = jnp.concatenate([W6, jnp.zeros((pad, 6, 6), dt)])
+    nc = (E + pad) // chunk
+    ch = lambda a: a.reshape((nc, chunk) + a.shape[1:])
+
+    def body(c, args):
+        H, g = c
+        ii, jj, rr, JI, JJ, WW = args
+        O_i = jax.nn.one_hot(ii, K, dtype=dt)
+        O_j = jax.nn.one_hot(jj, K, dtype=dt)
+        A = (jnp.einsum("ek,erb->erkb", O_i, JI)
+             + jnp.einsum("ek,erb->erkb", O_j, JJ)).reshape(-1, 6, n)
+        Aw = jnp.einsum("ers,esm->erm", WW, A)
+        H = H + jnp.einsum("erm,ern->mn", Aw, A)
+        g = g + jnp.einsum("erm,er->m", Aw, rr)
+        return (H, g), None
+
+    (H, g), _ = jax.lax.scan(
+        body, (jnp.zeros((n, n), dt), jnp.zeros((n,), dt)),
+        (ch(i_idx), ch(j_idx), ch(r), ch(Ji), ch(Jj), ch(W6)))
+    chi = jnp.einsum("er,ers,es->", r, W6, r)
+    return H, g, chi
+
+
+def solve_pose_graph_full(R, p, i_idx, j_idx, rel_R, rel_p, W6,
+                          iters: int = 5, damping: float = 1e-6,
+                          fix_first: bool = True):
+    """Damped GN with full 6x6 per-edge information (the anchor-graph
+    solve of the condensed backend). Dead/padded edges: W6 = 0; padded
+    poses (no live edges) stay fixed (zero gradient + damping)."""
+    K = R.shape[0]
+
+    def gn_iter(carry, _):
+        R, p = carry
+        r, Ji, Jj = _edge_blocks(R, p, i_idx, j_idx, rel_R, rel_p,
+                                 W6[:, :, 0])
+        H, g, chi = assemble_pose_system_full(i_idx, j_idx, r, Ji, Jj,
+                                              W6, K)
+        if fix_first:
+            H = H.at[:6, :].set(0.0).at[:, :6].set(0.0)
+            H = H.at[:6, :6].set(jnp.eye(6))
+            g = g.at[:6].set(0.0)
+        d = jnp.sqrt(jnp.maximum(jnp.diag(H), 1e-10))
+        Hs = H / d[:, None] / d[None, :]
+        Hs = Hs + damping * jnp.eye(6 * K)
+        dx = (jnp.linalg.solve(Hs, -(g / d)) / d).reshape(K, 6)
+        R2 = R @ so3.exp(dx[:, 0:3])
+        p2 = p + dx[:, 3:6]
+        return (R2, p2), chi
+
+    (R, p), chis = jax.lax.scan(gn_iter, (R, p), None, length=iters)
+    return R, p, chis[-1]
+
+
 def odometry_chain_edges(Rs, ps, v6):
     """Consecutive BetweenFactors from a trajectory (the reference's
     odometry chain in build_graph, voxelslam.cpp:2078-2154).
