@@ -93,6 +93,11 @@ class LoopPipeline:
         # per-session state (reference multimap_* vectors)
         self.scan_poses: list[list] = []      # ScanPose streams
         self.keyframes: list[list[Keyframe]] = []
+        # per-session keyframe position arrays for the vectorized
+        # radius query (mirrors the reference's keyframe kd-tree,
+        # voxelslam.cpp:2628-2647); row i = keyframes[s][i].p0
+        self._kf_pos: list[np.ndarray] = []
+        self._kf_sync: list[int] = []         # rows of _kf_pos in sync
         self.dbs: list[DescriptorDB] = []
         self.juds: list[float] = []
         self.jours: list[float] = []
@@ -116,6 +121,8 @@ class LoopPipeline:
         sid = len(self.scan_poses)
         self.scan_poses.append([])
         self.keyframes.append([])
+        self._kf_pos.append(np.zeros((64, 3)))
+        self._kf_sync.append(0)
         self.dbs.append(DescriptorDB(self.btc_cfg))
         self.juds.append(self.cfg.loop.jud_default if jud is None else jud)
         self.jours.append(0.0)
@@ -432,6 +439,7 @@ class LoopPipeline:
             for kf in self.keyframes[s]:
                 src = sps[kf.scan_id]
                 kf.R0, kf.p0 = src.R, src.p
+            self._kf_sync[s] = 0    # positions moved: re-sync lazily
 
         x3 = self.scan_poses[self.cur_session][-1]
         dx_R = x3.R @ x1_R.T
@@ -451,15 +459,40 @@ class LoopPipeline:
 
     # -- mid-term association ----------------------------------------------
 
+    def _kf_positions(self, sid: int) -> np.ndarray:
+        """(n, 3) view of session keyframe positions, lazily synced:
+        appended keyframes fill the tail; a PGO write-back (which moves
+        every keyframe) invalidates via `_kf_sync[sid] = 0`."""
+        kfs = self.keyframes[sid]
+        n = len(kfs)
+        buf = self._kf_pos[sid]
+        while buf.shape[0] < n:
+            buf = np.concatenate([buf, np.zeros_like(buf)])
+            self._kf_pos[sid] = buf
+        m = self._kf_sync[sid]
+        if m < n:
+            buf[m:n] = np.stack([kf.p0 for kf in kfs[m:]])
+            self._kf_sync[sid] = n
+        return buf[:n]
+
     def nearby_keyframe(self, p_curr: np.ndarray, radius: float = 10.0):
         """One reloadable historical keyframe within `radius` of the
         current position (reference keyframe_loading, voxelslam.cpp:
-        1379-1438); marks it consumed."""
+        1379-1438); marks it consumed. The radius query is a vectorized
+        distance test against per-session position arrays (the
+        reference's keyframe kd-tree) — per-scan cost stays flat at
+        thousands of keyframes; only in-radius hits touch the Keyframe
+        objects (`exist` stays object-authoritative)."""
+        r2 = radius * radius
         for s in self.graph_ids if self.graph_ids else [self.cur_session]:
             kfs = self.keyframes[s]
-            for kf in kfs:
-                if kf.exist and \
-                        np.linalg.norm(kf.p0 - p_curr) < radius:
+            if not kfs:
+                continue
+            d = self._kf_positions(s) - p_curr
+            d2 = np.einsum("ni,ni->n", d, d)
+            for i in np.nonzero(d2 < r2)[0]:
+                kf = kfs[i]
+                if kf.exist:
                     kf.exist = False
                     return kf
         return None
