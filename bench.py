@@ -5,9 +5,17 @@ update vs the voxel map, window insert, plane refresh, LI-BA each scan
 once the window is full) on simulated room scans, on the default JAX
 backend (the real TPU chip under the driver).
 
+Robustness (round-4 rework): the end-to-end number is the MEDIAN of
+several independently timed steady-state segments of the same packet
+stream (tunnel-RTT spikes land in one segment, not the headline), every
+compile — including the periodic eviction pass — is forced before the
+first timed segment, and the same JSON line also reports the device-only
+megastep time measured by chaining the batched steady step on device.
+
 Prints ONE JSON line:
   {"metric": "odometry+localBA frames/s/chip", "value": N,
-   "unit": "frames/s", "vs_baseline": N}
+   "unit": "frames/s", "vs_baseline": N, "fps_runs": [...],
+   "device_ms_per_scan": N}
 
 Baseline: the reference is sized for 10 Hz real-time scan processing on
 a multicore x86 with 5 worker threads (BASELINE.md — no published fps;
@@ -35,6 +43,8 @@ def _enable_compile_cache():
 
 def main():
     _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
     from voxelslam_tpu.config import SlamConfig, MapConfig, OdometryConfig, LocalBAConfig
     from voxelslam_tpu.pipeline import SlamPipeline
     from voxelslam_tpu.io import simulator as sim
@@ -45,11 +55,10 @@ def main():
         odom=OdometryConfig(point_max=4096, imu_max=64),
         lba=LocalBAConfig(factor_max=1024),
     )
-    # init fills 10 scans, then 44 steady scans = 11 full K=4 batches —
-    # the last scan triggers a dispatch, so nothing is left queued
-    # (steady dispatch is batched odom.batch_scans scans per device call)
-    n_scans = 54
-    warm = 20  # include init + first BA compiles
+    warm = 22           # init (10) + 3 full K=4 steady batches
+    n_seg = 3           # timed repetitions (median is the headline)
+    seg = 40            # scans per segment (10 K=4 dispatches each)
+    n_scans = warm + n_seg * seg
 
     traj = sim.make_trajectory(duration=0.2 + 0.1 * (n_scans + 2),
                                speed=1.2, wobble=0.25, yaw_rate=0.3, ramp=1.2)
@@ -73,24 +82,69 @@ def main():
                         ts, gyr, acc, t, t + 0.1))
         t += 0.1
 
-    t_steady = None
-    n_timed = 0
-    for k, pkt in enumerate(packets):
-        if k == warm:
-            t_steady = time.time()
-        out = pipe.process_scan(*pkt)
-        if k >= warm:
-            n_timed += 1
-    import jax
-    jax.block_until_ready(pipe.x)   # charge the final batch's device time
-    elapsed = time.time() - t_steady
-    fps = n_timed / elapsed
+    # ---- warmup: init + steady compiles ----
+    for pkt in packets[:warm]:
+        pipe.process_scan(*pkt)
+    # force the eviction-path compiles (occ-count readback + table
+    # rebuild) OUTSIDE the timed region; the rebuilt levels are
+    # discarded — nothing is evicted this early, it only compiles
+    occ = pipe._jit_occ_counts(pipe.levels)
+    lv2, _ = pipe._jit_evict(pipe.levels, jnp.float32(pipe.jour))
+    jax.block_until_ready((occ, lv2))
+    del lv2
+    jax.block_until_ready(pipe.x)
+
+    # ---- timed segments ----
+    fps_runs = []
+    k = warm
+    for _ in range(n_seg):
+        t0 = time.time()
+        for pkt in packets[k:k + seg]:
+            pipe.process_scan(*pkt)
+        jax.block_until_ready(pipe.x)   # charge this segment's device time
+        fps_runs.append(seg / (time.time() - t0))
+        k += seg
+    fps = float(np.median(fps_runs))
+
+    # ---- device-only ms/scan: chain the batched steady megastep on
+    # device, state-to-state, no host readbacks in the loop ----
+    K = pipe._batch_K
+    blobs = []
+    for (pts, off, ts, gyr, acc, t_beg, t_end) in packets[-K:]:
+        pts_j, off_j, pmask = pipe._pad_points(pts, off)
+        ts_j, gyr_j, acc_j, imask = pipe._pad_imu(ts, gyr, acc)
+        imu_np = np.concatenate(
+            [np.asarray(ts_j)[:, None], np.asarray(gyr_j),
+             np.asarray(acc_j), np.asarray(imask)[:, None]],
+            axis=1, dtype=np.float32)
+        scan_np = np.concatenate(
+            [np.asarray(pts_j), np.asarray(off_j)[:, None],
+             np.asarray(pmask)[:, None]], axis=1, dtype=np.float32)
+        blobs.append((imu_np, scan_np, t_beg, t_end))
+    imu_b = jnp.array(np.stack([b[0] for b in blobs]))
+    scan_b = jnp.array(np.stack([b[1] for b in blobs]))
+    scals = jnp.array([[b[2], b[3], b[2] - 0.1, pipe.jour, float(i)]
+                       for i, b in enumerate(blobs)], jnp.float32)
+    outs = pipe._jit_megastep_k(pipe.x, pipe.levels, pipe.win, pipe.mp,
+                                pipe.preints_dev, imu_b, scan_b, scals)
+    jax.block_until_ready(outs)
+    n_dev = 8
+    t0 = time.time()
+    x, levels, win, mp, preints = outs[:5]
+    for _ in range(n_dev):
+        outs = pipe._jit_megastep_k(x, levels, win, mp, preints,
+                                    imu_b, scan_b, scals)
+        x, levels, win, mp, preints = outs[:5]
+    jax.block_until_ready(outs)
+    dev_ms = (time.time() - t0) / (n_dev * K) * 1e3
 
     print(json.dumps({
         "metric": "odometry+localBA frames/s/chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 10.0, 3),
+        "fps_runs": [round(f, 2) for f in fps_runs],
+        "device_ms_per_scan": round(dev_ms, 2),
     }))
 
 

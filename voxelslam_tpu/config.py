@@ -32,6 +32,11 @@ class MapConfig:
     evict_dist: float = 700.0               # jour-distance eviction (voxelslam.cpp:1806)
     evict_check_every: int = 100            # scans between load-factor checks
     evict_load: float = 0.4                 # table load factor triggering eviction
+    # touched-slot tracking (sparse marginalize fold). OFF by default:
+    # on TPU the flat row-scatters it needs measured ~2x the whole
+    # megastep vs the contiguous dense-column path (r04 bench) — keep
+    # the machinery for hosts/backends where scatters are cheap
+    track_touched: bool = False
 
     @property
     def levels(self) -> int:

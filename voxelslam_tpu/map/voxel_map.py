@@ -171,8 +171,10 @@ def point_noise_record(pts_body: jnp.ndarray, dept_err: float,
 
 
 def empty_map(cfg: MapConfig):
-    return tuple(empty_level(c, cfg.win_size, cfg.unique_max[l])
-                 for l, c in enumerate(cfg.capacities))
+    return tuple(
+        empty_level(c, cfg.win_size,
+                    cfg.unique_max[l] if cfg.track_touched else 0)
+        for l, c in enumerate(cfg.capacities))
 
 
 # ---------------------------------------------------------------------------
@@ -203,52 +205,78 @@ def insert_scan_level(lv: VoxelLevel, level_size: float, unique_max: int,
         uniq, uvalid, inv, tkeys, occ, uslots = _pre
         occ_before = lv.occ
     U = uslots.shape[0]
-
-    # --- per-UNIQUE scan statistics (U-sized, not C-sized): scatter by
-    # the dedup inverse; unique rows whose table insert dropped fall out
-    # at the write-back below
+    T = lv.tsl.shape[1]
     nv_pt = expand_noise(tr_pt)
-    ok = (mask > 0) & (inv >= 0)
-    seg, w = jax.lax.optimization_barrier(
-        (jnp.where(ok, inv, U), ok.astype(pts_local.dtype)))
-    n_add = jnp.zeros((U,)).at[seg].add(w, mode="drop")
-    sum_p = jnp.zeros((U, 3)).at[seg].add(pts_local * w[:, None], mode="drop")
-    mu_add = sum_p / jnp.maximum(n_add, 1.0)[:, None]
-    d = (pts_local - mu_add[jnp.clip(inv, 0, U - 1)]) * w[:, None]
-    S_add = jnp.zeros((U, 3, 3)).at[seg].add(
-        d[:, :, None] * d[:, None, :], mode="drop")
-    nv_add = jnp.zeros((U, NV)).at[seg].add(nv_pt * w[:, None], mode="drop")
-    added = Cluster(n=n_add, mu=mu_add, S=S_add)
 
-    # --- merge into the window column at the claimed slots only: the
-    # (W, C) leaves flatten to (W*C) rows so a 1-D row gather/scatter at
-    # frame_slot*C + slot replaces the full-column read-modify-write
-    row_ok = uvalid & (uslots >= 0)
-    su = jnp.clip(jnp.where(row_ok, uslots, 0), 0, C - 1)
-    flat = frame_slot * C + su
-    win_flat = jax.tree.map(
-        lambda a: a.reshape((W * C,) + a.shape[2:]), lv.win)
-    col_u = jax.tree.map(lambda a: a[flat], win_flat)
-    nv_u = lv.win_nv.reshape((W * C, NV))[flat]
-    merged = cl.merge(col_u, added)
-    nv_new = nv_u + nv_add
-    # barrier: see insert_fixed_level (scatter fusion assertion)
-    tgt, m_n, m_mu, m_S, nv_new = jax.lax.optimization_barrier(
-        (jnp.where(row_ok, flat, W * C), merged.n, merged.mu, merged.S,
-         nv_new))
-    win_flat = Cluster(
-        n=win_flat.n.at[tgt].set(m_n, mode="drop"),
-        mu=win_flat.mu.at[tgt].set(m_mu, mode="drop"),
-        S=win_flat.S.at[tgt].set(m_S, mode="drop"))
-    win = jax.tree.map(lambda a, b: a.reshape(b.shape), win_flat, lv.win)
-    win_nv = lv.win_nv.reshape((W * C, NV)).at[tgt].set(
-        nv_new, mode="drop").reshape(lv.win_nv.shape)
+    if T == 0:
+        # --- dense-column path (default): per-point scatter into
+        # (C,)-sized stats, whole-column merge, and ONE contiguous
+        # dynamic-update-slice write at the major window axis. The
+        # "sparse" row-scatter alternative below touches 10x less data
+        # but its computed-index scatters into the (W*C) leaves
+        # SERIALIZE on TPU — measured ~2x the whole megastep (r04
+        # bench): contiguous-dense beats scatter-sparse here.
+        pslot = jnp.where(inv >= 0, uslots[jnp.maximum(inv, 0)], -1)
+        ok = (mask > 0) & (pslot >= 0)
+        # barrier: see insert_fixed_level (scatter fusion assertion)
+        seg, w, pslot = jax.lax.optimization_barrier(
+            (jnp.where(ok, pslot, C), ok.astype(pts_local.dtype), pslot))
+        n_add = jnp.zeros((C,)).at[seg].add(w, mode="drop")
+        sum_p = jnp.zeros((C, 3)).at[seg].add(
+            pts_local * w[:, None], mode="drop")
+        mu_add = sum_p / jnp.maximum(n_add, 1.0)[:, None]
+        d = (pts_local - mu_add[jnp.maximum(pslot, 0)]) * w[:, None]
+        S_add = jnp.zeros((C, 3, 3)).at[seg].add(
+            d[:, :, None] * d[:, None, :], mode="drop")
+        nv_add = jnp.zeros((C, NV)).at[seg].add(
+            nv_pt * w[:, None], mode="drop")
+        added = Cluster(n=n_add, mu=mu_add, S=S_add)
+        col = lv.win[frame_slot]
+        merged = cl.merge(col, added)
+        win = jax.tree.map(lambda full, new: full.at[frame_slot].set(new),
+                           lv.win, merged)
+        win_nv = lv.win_nv.at[frame_slot].add(nv_add)
+        tsl = lv.tsl
+    else:
+        # --- touched-slot path (opt-in, MapConfig.track_touched): U-row
+        # statistics + flat row-scatters + the tsl bookkeeping that
+        # enables the sparse marginalize fold
+        ok = (mask > 0) & (inv >= 0)
+        seg, w = jax.lax.optimization_barrier(
+            (jnp.where(ok, inv, U), ok.astype(pts_local.dtype)))
+        n_add = jnp.zeros((U,)).at[seg].add(w, mode="drop")
+        sum_p = jnp.zeros((U, 3)).at[seg].add(
+            pts_local * w[:, None], mode="drop")
+        mu_add = sum_p / jnp.maximum(n_add, 1.0)[:, None]
+        d = (pts_local - mu_add[jnp.clip(inv, 0, U - 1)]) * w[:, None]
+        S_add = jnp.zeros((U, 3, 3)).at[seg].add(
+            d[:, :, None] * d[:, None, :], mode="drop")
+        nv_add = jnp.zeros((U, NV)).at[seg].add(
+            nv_pt * w[:, None], mode="drop")
+        added = Cluster(n=n_add, mu=mu_add, S=S_add)
 
-    # touched-slot list for sparse marginalization (pad to the tracked
-    # width when this scan's unique cap is smaller)
-    tsl = lv.tsl
-    T = tsl.shape[1]
-    if T:
+        row_ok = uvalid & (uslots >= 0)
+        su = jnp.clip(jnp.where(row_ok, uslots, 0), 0, C - 1)
+        flat = frame_slot * C + su
+        win_flat = jax.tree.map(
+            lambda a: a.reshape((W * C,) + a.shape[2:]), lv.win)
+        col_u = jax.tree.map(lambda a: a[flat], win_flat)
+        nv_u = lv.win_nv.reshape((W * C, NV))[flat]
+        merged = cl.merge(col_u, added)
+        nv_new = nv_u + nv_add
+        # barrier: see insert_fixed_level (scatter fusion assertion)
+        tgt, m_n, m_mu, m_S, nv_new = jax.lax.optimization_barrier(
+            (jnp.where(row_ok, flat, W * C), merged.n, merged.mu,
+             merged.S, nv_new))
+        win_flat = Cluster(
+            n=win_flat.n.at[tgt].set(m_n, mode="drop"),
+            mu=win_flat.mu.at[tgt].set(m_mu, mode="drop"),
+            S=win_flat.S.at[tgt].set(m_S, mode="drop"))
+        win = jax.tree.map(lambda a, b: a.reshape(b.shape), win_flat,
+                           lv.win)
+        win_nv = lv.win_nv.reshape((W * C, NV)).at[tgt].set(
+            nv_new, mode="drop").reshape(lv.win_nv.shape)
+
         row = jnp.where(row_ok, uslots, C)
         if U < T:
             row = jnp.concatenate(
@@ -261,7 +289,7 @@ def insert_scan_level(lv: VoxelLevel, level_size: float, unique_max: int,
                 f"insert_scan_level: scan unique cap U={U} exceeds the "
                 f"touched-slot track width T={T}; size tsl to "
                 f"unique_max or disable tracking (T=0) for this level")
-        tsl = tsl.at[frame_slot].set(row)
+        tsl = lv.tsl.at[frame_slot].set(row)
 
     # stamp journey distance on newly created voxels
     newly = uvalid & (uslots >= 0) & ~occ_before[jnp.maximum(uslots, 0)]
