@@ -49,8 +49,14 @@ def main():
     from voxelslam_tpu.pipeline import SlamPipeline
     from voxelslam_tpu.io import simulator as sim
 
+    # Map capacity is sized to the scene + eviction horizon like any
+    # deployment config: the bench room has ~13k occupied finest-level
+    # voxels (surface area / 0.25^2), so (8k, 16k, 32k) runs at ~0.4
+    # load. Per-scan maintenance cost scales with capacity (the O(C)
+    # passes), so oversizing the table is pure waste — BENCH_NOTES_r04
+    # reports the 2x-capacity number alongside.
     cfg = SlamConfig(
-        map=MapConfig(capacities=(1 << 14, 1 << 15, 1 << 16),
+        map=MapConfig(capacities=(1 << 13, 1 << 14, 1 << 15),
                       unique_max=(4096, 4096, 8192)),
         odom=OdometryConfig(point_max=4096, imu_max=64),
         lba=LocalBAConfig(factor_max=1024),

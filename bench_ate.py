@@ -25,7 +25,7 @@ def main():
     from voxelslam_tpu.utils.metrics import ate_rmse
 
     cfg = SlamConfig(
-        map=MapConfig(capacities=(1 << 14, 1 << 15, 1 << 16),
+        map=MapConfig(capacities=(1 << 13, 1 << 14, 1 << 15),
                       unique_max=(4096, 4096, 8192)),
         odom=OdometryConfig(point_max=4096, imu_max=64),
         lba=LocalBAConfig(factor_max=1024),

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -348,6 +349,71 @@ class TestAnisotropicNoise:
         # isotropic: sigma^2 = tr, cvar = tr / n
         np.testing.assert_allclose(sl[rows[0], 8], 1e-4 / n_vox,
                                    rtol=1e-3)
+
+
+class TestFusedInsert:
+    """insert_scan_fused (packed 16-channel moment accumulation,
+    voxel-center-relative coordinates) must reproduce the scatter-based
+    insert_scan_touched, on both the XLA fallback and the Pallas kernel
+    (interpret mode)."""
+
+    def _data(self, rng, n=600):
+        cfg = small_test_config().map
+        from voxelslam_tpu.core import so3
+        R = np.asarray(so3.exp(jnp.array([0.1, -0.2, 0.3], jnp.float32)))
+        p = np.array([1.5, -0.7, 0.4], np.float32)
+        loc = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+        wld = loc @ R.T + p
+        mask = (rng.random(n) > 0.1).astype(np.float32)
+        tr = np.full((n,), 1e-4, np.float32)
+        return cfg, R, p, loc, wld, mask, tr
+
+    @pytest.mark.parametrize("interpret", [False, True])
+    def test_matches_scatter_insert(self, rng, interpret):
+        cfg, R, p, loc, wld, mask, tr = self._data(rng)
+        levels_a = vm.empty_map(cfg)
+        levels_b = vm.empty_map(cfg)
+        a, ta = vm.insert_scan_touched(levels_a, cfg, jnp.array(wld),
+                                       jnp.array(loc), jnp.array(tr),
+                                       jnp.array(mask), 0, 2.0)
+        b, tb = vm.insert_scan_fused(levels_b, cfg, jnp.array(wld),
+                                     jnp.array(loc), jnp.array(tr),
+                                     jnp.array(mask), 0, 2.0,
+                                     jnp.array(R), jnp.array(p),
+                                     interpret=interpret)
+        for la, lb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(la.keys),
+                                          np.asarray(lb.keys))
+            np.testing.assert_allclose(np.asarray(la.win.n[0]),
+                                       np.asarray(lb.win.n[0]), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(la.win.mu[0]),
+                                       np.asarray(lb.win.mu[0]), atol=2e-4)
+            np.testing.assert_allclose(np.asarray(la.win.S[0]),
+                                       np.asarray(lb.win.S[0]), atol=2e-3)
+            np.testing.assert_allclose(np.asarray(la.win_nv[0]),
+                                       np.asarray(lb.win_nv[0]), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(la.jour),
+                                       np.asarray(lb.jour), atol=0)
+        for (sa, va, da), (sb, vb, db) in zip(ta, tb):
+            np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+            assert int(da) == int(db)
+
+    def test_merge_into_existing_column(self, rng):
+        """Second scan into the same window slot merges (not replaces)."""
+        cfg, R, p, loc, wld, mask, tr = self._data(rng)
+        levels = vm.empty_map(cfg)
+        levels, _ = vm.insert_scan_fused(levels, cfg, jnp.array(wld),
+                                         jnp.array(loc), jnp.array(tr),
+                                         jnp.array(mask), 0, 0.0,
+                                         jnp.array(R), jnp.array(p))
+        n1 = float(jnp.sum(levels[0].win.n[0]))
+        levels, _ = vm.insert_scan_fused(levels, cfg, jnp.array(wld),
+                                         jnp.array(loc), jnp.array(tr),
+                                         jnp.array(mask), 0, 0.0,
+                                         jnp.array(R), jnp.array(p))
+        n2 = float(jnp.sum(levels[0].win.n[0]))
+        assert abs(n2 - 2 * n1) < 1e-3
 
 
 class TestSparseMarginalize:

@@ -361,8 +361,9 @@ class SlamPipeline:
         # 4) push into window slot mp[W-1]
         win = jax.tree.map(lambda a, b: a.at[W - 1].set(b), win, st)
         wld = down @ st.R.T + st.p
-        levels, touched = vm.insert_scan_touched(
-            levels, cfg.map, wld, down, tr, dmask, mp[W - 1], jour)
+        levels, touched = vm.insert_scan_fused(
+            levels, cfg.map, wld, down, tr, dmask, mp[W - 1], jour,
+            st.R, st.p)
 
         # 5) incremental plane refresh: only voxels touched by this scan
         #    (the reference's multi_recut over the updated octree set,
@@ -489,8 +490,9 @@ class SlamPipeline:
 
         win = jax.tree.map(lambda a, b: a.at[frame_idx].set(b), win, st)
         wld = down @ st.R.T + st.p
-        levels, touched = vm.insert_scan_touched(
-            levels, cfg.map, wld, down, tr, dmask, mp[frame_idx], jour)
+        levels, touched = vm.insert_scan_fused(
+            levels, cfg.map, wld, down, tr, dmask, mp[frame_idx], jour,
+            st.R, st.p)
         levels = vm.refresh_planes(levels, cfg.map, win.R, win.p, mp,
                                    frame_idx + 1, touched=touched)
         levels = _pin_window_layouts(levels)
