@@ -38,7 +38,6 @@ import numpy as np
 from ..config import SlamConfig, MapConfig
 from ..map import voxel_map as vm
 from ..ba import optimizers as opt
-from ..ops.downsample import voxel_downsample
 from ..pipeline.loop import Keyframe, LoopEdge
 
 
@@ -159,8 +158,21 @@ class HbaRunner:
         key = (W, factor_max)
         if key not in self._fleet_cache:
             self._fleet_cache[key] = make_window_fleet(
-                self.mesh, self._window_step(W, factor_max), W)
+                self.mesh, self._window_step(W, factor_max), W,
+                condense_vs=self.cfg.map.voxel_size / 8.0,
+                point_max=self.kf_point_max)
         return self._fleet_cache[key]
+
+    def _get_condense(self, W: int):
+        """Jitted window condense for the single-device / total-BA
+        paths (same device math as the fleet's in-call condense)."""
+        from ..parallel.dist_gba import condense_window
+        key = ("cond", W)
+        if key not in self._step_cache:
+            vs = self.cfg.map.voxel_size / 8.0
+            self._step_cache[key] = jax.jit(partial(
+                condense_window, vs=vs, P_out=self.kf_point_max))
+        return self._step_cache[key]
 
     def _run_window(self, kfs: list[Keyframe], W_pad: int,
                     factor_max: int = 1024):
@@ -207,26 +219,26 @@ class HbaRunner:
 
     def _condense(self, kfs, Rs, ps, kf_index: int | None = None) -> Keyframe:
         """Merge the window into first-frame coords + downsample at
-        voxel_size/8 (reference :2954-2985)."""
+        voxel_size/8 (reference :2954-2985) — one jitted device call
+        (dist_gba.condense_window); the fleet path computes the same
+        thing inside its sharded call."""
         P = self.kf_point_max
-        pts = []
-        msk = []
-        R0, p0 = Rs[0], ps[0]
-        for kf, R, p in zip(kfs, Rs, ps):
-            dR = R0.T @ R
-            dp = R0.T @ (p - p0)
-            pts.append(kf.cloud @ dR.T + dp)
-            msk.append(kf.mask)
-        flat = np.concatenate(pts).astype(np.float32)
-        fm = np.concatenate(msk).astype(np.float32)
-        vs = self.cfg.map.voxel_size / 8.0
-        down, dmask, _ = voxel_downsample(jnp.array(flat), jnp.array(fm),
-                                          vs, P)
+        n = len(kfs)
+        clouds = np.zeros((n, P, 3), np.float32)
+        masks = np.zeros((n, P), np.float32)
+        for i, kf in enumerate(kfs):
+            m = min(kf.cloud.shape[0], P)
+            clouds[i, :m] = kf.cloud[:m]
+            masks[i, :m] = kf.mask[:m]
+        down, dmask = self._get_condense(n)(
+            jnp.array(clouds), jnp.array(masks),
+            jnp.array(np.asarray(Rs[:n], np.float32)),
+            jnp.array(np.asarray(ps[:n], np.float32)))
         first = kfs[0]
         return Keyframe(
             kf_index=len(self.submaps) if kf_index is None else kf_index,
             scan_id=first.scan_id,
-            session=first.session, R0=R0, p0=p0,
+            session=first.session, R0=Rs[0], p0=ps[0],
             cloud=np.asarray(down), mask=np.asarray(dmask, np.float32),
             jour=first.jour)
 
@@ -284,15 +296,17 @@ class HbaRunner:
                 Rs[b, i] = kf.R0
                 ps[b, i] = kf.p0
         fleet = self._get_fleet(W, 1024)
-        (Rs2, ps2, rel_R, rel_p, v6, evalid, r0, r1) = fleet(
-            jnp.array(clouds), jnp.array(masks), jnp.array(Rs),
-            jnp.array(ps), jnp.array(wmask))
+        (Rs2, ps2, rel_R, rel_p, v6, evalid, r0, r1, downs, dmasks) = \
+            fleet(jnp.array(clouds), jnp.array(masks), jnp.array(Rs),
+                  jnp.array(ps), jnp.array(wmask))
         Rs2 = np.asarray(Rs2, np.float64)
         ps2 = np.asarray(ps2, np.float64)
         rel_R = np.asarray(rel_R, np.float64)
         rel_p = np.asarray(rel_p, np.float64)
         v6 = np.asarray(v6, np.float64)
         evalid = np.asarray(evalid)
+        downs = np.asarray(downs)
+        dmasks = np.asarray(dmasks, np.float32)
         pi, pj = np.triu_indices(W, 1)
         for b, window in enumerate(queue):
             for m in range(len(pi)):
@@ -303,7 +317,11 @@ class HbaRunner:
                     id_a=a.session, id_b=c.session,
                     ord_a=a.scan_id, ord_b=c.scan_id,
                     R=rel_R[b, m], t=rel_p[b, m], v6=v6[b, m]))
-            self.submaps.append(self._condense(window, Rs2[b], ps2[b]))
+            first = window[0]
+            self.submaps.append(Keyframe(
+                kf_index=len(self.submaps), scan_id=first.scan_id,
+                session=first.session, R0=Rs2[b, 0], p0=ps2[b, 0],
+                cloud=downs[b], mask=dmasks[b], jour=first.jour))
         return dict(flushed=n_real, r0=float(np.asarray(r0)[0]),
                     r1=float(np.asarray(r1)[0]),
                     n_edges=len(self.edges1),

@@ -51,7 +51,9 @@ class BtcConfig:
     max_planes: int = 24
     height_slices: int = 8
     slice_height: float = 0.5
-    max_corners: int = 24            # kept corners per keyframe
+    max_corners: int = 64            # kept corners per keyframe
+    knn_triangles: int = 10          # triangle partners per corner
+                                     # (reference descriptor_near_num)
     nms_radius: float = 1.5          # corner suppression radius (m)
     merge_normal_dot: float = 0.9    # coplanar-merge |n_a . n_b| gate
     merge_dist: float = 0.4          # coplanar-merge plane-distance gate
@@ -59,7 +61,14 @@ class BtcConfig:
     max_side: float = 50.0           # descriptor_max_len (BTC.cpp:24)
     side_quant: float = 0.2          # side-length hash quantization (m)
     min_votes: int = 5               # candidate gate (BTC.cpp:1227)
-    max_matches: int = 50            # RANSAC-lite pairs (BTC.cpp:1290)
+    max_matches: int = 2048          # pair cap fed to the verifier (the
+                                     # reference samples 50, BTC.cpp:1290
+                                     # — at our collision densities the
+                                     # verifier needs the full set)
+    ransac_hyps: int = 512           # similarity-ranked hypothesis cap
+    junction_radius: float = 1.5     # corner junction-test ball (m)
+    junction_plane_tol: float = 0.25  # on-surface distance for the test
+    support_radius: float = 1.0      # corner support-count ball (m)
     binary_thr: float = 0.6          # occupancy-code similarity gate
     vertex_tol: float = 1.0          # agreement threshold (m)
     plane_norm_tol: float = 0.85     # overlap: |n_s . n_t| >=
@@ -85,10 +94,26 @@ class BtcConfig:
             plane_eig_thr=0.05,
             merge_normal_dot=0.7,
             merge_dist=0.8,
-            max_corners=32,
+            max_corners=64,
             nms_radius=3.0,
             min_side=3.0,
             binary_thr=0.5,
+            # sparse high-altitude clouds (~1-2 pts/m^2): the junction/
+            # support tests need proportionally larger balls and looser
+            # surface tolerances or no corner ever collects 3-plane
+            # evidence (bench_btc aerial extraction yielded 0 corners
+            # at the ground radii)
+            junction_radius=3.5,
+            junction_plane_tol=0.6,
+            support_radius=2.5,
+            slice_height=1.0,
+            # corner positions carry ~0.5 m noise at these densities:
+            # the side hash and the RANSAC agreement tolerance must
+            # scale with it or matched triangles land outside the +-1
+            # quantization slack
+            side_quant=0.6,
+            vertex_tol=2.0,
+            plane_dist_tol=1.0,
         )
 
 
@@ -238,35 +263,43 @@ def _structural_corners(cloud, mask, centers, normals, pvalid, pradius,
     ok_cond = jnp.abs(det) > 0.2      # mutually non-coplanar normals
     Asafe = A + (~ok_cond[:, None, None]) * jnp.eye(3)[None]
     x = jnp.linalg.solve(Asafe, b[..., None])[..., 0]      # (T, 3)
-    # the intersection must be a PHYSICAL junction: inside each plane's
-    # observed patch (RMS radius + margin). Extended-plane intersections
-    # (a 2 m pillar face "hitting" a wall 15 m away) depend on which
-    # faces each viewpoint detected and are not repeatable.
-    def near_patch(idx):
-        # a uniform rectangular patch's corner sits ~1.9x the RMS radius
-        # from its centroid; 2.5x + margin keeps patch-edge junctions
-        # while still rejecting multi-metre plane extensions
-        lim = jnp.minimum(2.5 * pradius[idx] + 2.0, 20.0)
-        return jnp.linalg.norm(x - centers[idx], axis=-1) < lim
-
-    near = near_patch(ti) & near_patch(tj) & near_patch(tk)
-    ok = (ok_cond & near & pvalid[ti] & pvalid[tj] & pvalid[tk]
+    ok = (ok_cond & pvalid[ti] & pvalid[tj] & pvalid[tk]
           & jnp.all(jnp.isfinite(x), axis=-1)
           & (jnp.linalg.norm(x, axis=-1) < 100.0))
 
-    # cloud support: points within 1 m of the corner (chunked over the
-    # candidate axis to bound the distance block)
-    def support_of(xc):
+    # the intersection must be a PHYSICAL junction: each member plane
+    # must have observed points right at the corner (within 1.5 m of x
+    # AND within 0.25 m of that plane's surface). This is viewpoint-
+    # stable — unlike gating on distance to the observed patch centroid,
+    # which shifts with partial visibility and rejected >90% of true
+    # room/pillar junctions on the adversarial P/R harness (bench_btc).
+    # Extended-plane intersections (a pillar face "hitting" a wall 15 m
+    # away) fail it because the pillar has no points at the far corner.
+    nrm3 = jnp.stack([normals[ti], normals[tj], normals[tk]], axis=1)
+    off3 = b                                                  # (T, 3)
+
+    def junction_of(args):
+        xc, n3, o3 = args          # (chunk,3), (chunk,3,3), (chunk,3)
         d2 = jnp.sum((cloud[None] - xc[:, None]) ** 2, axis=-1)
-        d2 = jnp.where(mask[None] > 0, d2, jnp.inf)
-        return jnp.sum(d2 < 1.0, axis=-1).astype(jnp.float32)
+        near = (d2 < cfg.junction_radius ** 2) & (mask[None] > 0)
+        pn = jnp.einsum("ni,cli->cln", cloud, n3)  # (chunk, 3, N)
+        on = jnp.abs(pn - o3[:, :, None]) < cfg.junction_plane_tol
+        cnt3 = jnp.sum(near[:, None] & on, axis=-1)  # (chunk, 3)
+        supp = jnp.sum((d2 < cfg.support_radius ** 2) & (mask[None] > 0),
+                       axis=-1).astype(jnp.float32)
+        return jnp.min(cnt3, axis=-1), supp
 
     T = x.shape[0]
     chunk = 256
     pads = (-T) % chunk
-    xpad = jnp.concatenate([x, jnp.zeros((pads, 3))], axis=0)
-    supp = jax.lax.map(support_of, xpad.reshape(-1, chunk, 3)).reshape(-1)[:T]
-    ok = ok & (supp >= 5)
+    pad3 = lambda a: jnp.concatenate(
+        [a, jnp.zeros((pads,) + a.shape[1:], a.dtype)], axis=0)
+    ch = lambda a: a.reshape((-1, chunk) + a.shape[1:])
+    mins, supp = jax.lax.map(
+        junction_of, (ch(pad3(x)), ch(pad3(nrm3)), ch(pad3(off3))))
+    mins = mins.reshape(-1)[:T]
+    supp = supp.reshape(-1)[:T]
+    ok = ok & (mins >= 3) & (supp >= 5)
 
     # greedy NMS: the same physical corner re-appears from many plane
     # triples spread over >0.5 m — pick best-supported candidates with a
@@ -291,41 +324,125 @@ def _structural_corners(cloud, mask, centers, normals, pvalid, pradius,
     support = supp[sel]
     cvalid = picks >= 0
 
-    # rotation-invariant occupancy code: radial shells of 0.5 m
+    # local refinement: global plane-merge estimates are noise-sensitive
+    # (quantized seeds + EM converge to slightly different plane sets per
+    # sensor draw), and triple intersections AMPLIFY that — measured
+    # corner repeatability at the same pose was 8/24 (bench_btc). Each
+    # kept corner is therefore re-solved from its LOCAL cloud: nearby
+    # points are assigned to the closest of the triple's faces, each
+    # face is re-fit (centroid + smallest-eigenvector), and the corner
+    # becomes the intersection of the refit planes. The local points
+    # are the same physical surface measurements from any viewpoint, so
+    # the refined corner no longer inherits global-merge instability
+    # (the reference gets the same stability by building corners from
+    # point occupancy directly, BTC.cpp:613-924).
+    tri_n = jnp.stack([normals[ti[sel]], normals[tj[sel]],
+                       normals[tk[sel]]], axis=1)           # (C, 3, 3)
+
+    def refine(corners, tri_n):
+        rel = cloud[None] - corners[:, None]                # (C, N, 3)
+        near = (jnp.sum(rel * rel, -1) < cfg.junction_radius ** 2) \
+            & (mask[None] > 0)
+        pd = jnp.abs(jnp.einsum("cni,cli->cln", rel, tri_n))  # (C,3,N)
+        closest = jnp.argmin(pd, axis=1)                    # (C, N)
+        new_n, offs = [], []
+        for l in range(3):
+            w = (near & (closest == l)
+                 & (pd[:, l] < cfg.junction_plane_tol + 0.05)
+                 ).astype(cloud.dtype)                      # (C, N)
+            nl = jnp.sum(w, -1)
+            cen = jnp.einsum("cn,ni->ci", w, cloud) \
+                / jnp.maximum(nl, 1.0)[:, None]
+            d = (cloud[None] - cen[:, None]) * w[..., None]
+            S_ = jnp.einsum("cni,cnj->cij", d, d) \
+                / jnp.maximum(nl, 1.0)[:, None, None]
+            lam, V = eigh3(S_)
+            nf = V[:, :, 0]
+            # keep orientation consistent with the prior normal; fall
+            # back to the prior when the local fit is under-determined
+            flip = jnp.einsum("ci,ci->c", nf, tri_n[:, l]) < 0
+            nf = jnp.where(flip[:, None], -nf, nf)
+            good = (nl >= 5)[:, None]
+            nf = jnp.where(good, nf, tri_n[:, l])
+            new_n.append(nf)
+            offs.append(jnp.einsum("ci,ci->c", nf,
+                                   jnp.where(good, cen, corners)))
+        A = jnp.stack(new_n, axis=1)                        # (C, 3, 3)
+        b3 = jnp.stack(offs, axis=1)                        # (C, 3)
+        det = jnp.linalg.det(A)
+        solvable = jnp.abs(det) > 0.1
+        Asafe = A + (~solvable[:, None, None]) * jnp.eye(3)[None]
+        xr = jnp.linalg.solve(Asafe, b3[..., None])[..., 0]
+        moved_ok = solvable & (jnp.linalg.norm(xr - corners, -1)
+                               < cfg.junction_radius)
+        return jnp.where(moved_ok[:, None], xr, corners), A
+
+    for _ in range(2):
+        corners, tri_n = refine(corners, tri_n)
+
+    # yaw-invariant occupancy code: radial shells of `slice_height`
+    # crossed with 3 corner-relative height bands (below / level /
+    # above, 2*slice_height each). Gravity alignment makes the z-bands
+    # viewpoint-invariant — the same structural trick as the
+    # reference's height-slice binary descriptor (BTC.cpp:613-924) —
+    # and 3x the code bits: the plain radial code was too weak to
+    # discriminate corners across places (bench_btc found cross-place
+    # vote saturation), the crossed code separates them.
     d2c = jnp.sum((cloud[None] - corners[:, None]) ** 2, axis=-1)
     d2c = jnp.where(mask[None] > 0, d2c, jnp.inf)
     shell = jnp.sqrt(d2c) / cfg.slice_height
-    # barrier: sid (indices) and the update weights both derive from
-    # `shell` — see voxel_hash.insert (scatter_emitter fusion assertion)
+    zrel = cloud[None, :, 2] - corners[:, 2:3]
+    zb = jnp.clip(jnp.floor(zrel / (2.0 * cfg.slice_height)) + 1.0,
+                  0.0, 2.0).astype(jnp.int32)
+    # barrier: indices and the update weights both derive from `shell`
+    # — see voxel_hash.insert (scatter_emitter fusion assertion)
     sid, sweight = jax.lax.optimization_barrier(
-        (jnp.clip(shell.astype(jnp.int32), 0, S - 1),
+        (zb * S + jnp.clip(shell.astype(jnp.int32), 0, S - 1),
          (shell < S).astype(jnp.float32)))
-    cnt = jnp.zeros((C, S)).at[
+    cnt = jnp.zeros((C, 3 * S)).at[
         jnp.arange(C)[:, None], sid].add(sweight, mode="drop")
     binary = (cnt >= 3.0).astype(jnp.float32)
     return corners, support, binary, cvalid
 
 
 def _triangles(corners, summary, binary, cvalid, cfg: BtcConfig):
-    """All-triplet triangle descriptors over the global top corners."""
+    """K-nearest-neighbor triangle descriptors over the top corners.
+
+    The reference forms triangles only among each corner's
+    descriptor_near_num nearest neighbors (generate_std, BTC.cpp:
+    979-1126) — NOT all triplets. That choice matters doubly: it keeps
+    the triangle count linear in corners (so the corner budget can be
+    large enough to cover every junction the scene offers — subset
+    instability of a small budget was the dominant recall killer on
+    bench_btc), and local triangles have shorter, scene-specific sides
+    (fewer hash collisions than room-diagonal spans)."""
     C = cfg.max_corners
+    K = min(cfg.knn_triangles, C - 1)
     score = jnp.where(cvalid, summary, -1.0)
     top = jax.lax.top_k(score, C)[1]
     pts = corners[top]
     bins = binary[top]
     val = cvalid[top]
 
-    ii, jj, kk = jnp.meshgrid(jnp.arange(C), jnp.arange(C), jnp.arange(C),
-                              indexing="ij")
-    tri_mask = (ii < jj) & (jj < kk)
-    ii, jj, kk = ii.reshape(-1), jj.reshape(-1), kk.reshape(-1)
-    tri_mask = tri_mask.reshape(-1)
-
     d = jnp.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
+    d = jnp.where(val[None] & val[:, None], d, jnp.inf)
+    d = d.at[jnp.arange(C), jnp.arange(C)].set(jnp.inf)
+    nn = jnp.argsort(d, axis=-1)[:, :K]                      # (C, K)
+
+    a_, b_ = np.triu_indices(K, 1)
+    ii = jnp.repeat(jnp.arange(C), len(a_))
+    jj = nn[:, a_].reshape(-1)
+    kk = nn[:, b_].reshape(-1)
+    # neighbor slots beyond the valid count alias arbitrary corners —
+    # kill triangles whose neighbor distance is not finite
+    nn_ok = (jnp.isfinite(d[ii, jj]) & jnp.isfinite(d[ii, kk])
+             & (jj != kk) & (ii != jj) & (ii != kk))
+
     sides = jnp.stack([d[ii, jj], d[ii, kk], d[jj, kk]], axis=-1)
+    sides = jnp.where(jnp.isfinite(sides), sides, 1e6)
     order = jnp.argsort(sides, axis=-1)
     sides = jnp.take_along_axis(sides, order, axis=-1)
-    ok = (tri_mask & val[ii] & val[jj] & val[kk]
+    ok = (nn_ok & val[ii] & val[jj] & val[kk]
           & (sides[:, 0] >= cfg.min_side) & (sides[:, 2] <= cfg.max_side))
     # vertex order must FOLLOW the side sort so matched triangles have
     # vertex-level correspondence for the SVD solver (the reference's STD
@@ -387,7 +504,7 @@ class DescriptorDB:
             try:
                 from .. import native
                 self._nat = native.BtcDb(cfg.side_quant,
-                                         3 * cfg.height_slices)
+                                         9 * cfg.height_slices)
             except Exception:
                 self._nat = None
 
@@ -406,7 +523,7 @@ class DescriptorDB:
             try:
                 from .. import native
                 self._nat = native.BtcDb(self.cfg.side_quant,
-                                         3 * self.cfg.height_slices)
+                                         9 * self.cfg.height_slices)
                 for fid, fr in self.frames.items():
                     self._nat.add(fid, fr["sides"], fr["binary"],
                                   fr["tri_valid"])
@@ -476,58 +593,119 @@ class DescriptorDB:
         for f, m in cand:
             if len(m) < self.cfg.min_votes:
                 continue
-            # diversify: at most one pair per query triangle, so a few
-            # degenerate repeated side-lengths can't starve verification
-            seen_q = set()
-            kept = []
-            for q_t, t_t in m:
-                if q_t in seen_q:
-                    continue
-                seen_q.add(q_t)
-                kept.append((q_t, t_t))
-                if len(kept) >= self.cfg.max_matches:
-                    break
-            out.append((f, len(m), kept))
+            n_votes = len(m)
+            # ALL pairs up to max_matches: the RANSAC verifier needs the
+            # full collision set — deduping per query triangle can drop
+            # the one correct pair behind a collision. Over the cap,
+            # keep the pairs with the highest code similarity (correct
+            # pairs rank high; insertion-order truncation lost them on
+            # heavy-collision frames)
+            if len(m) > self.cfg.max_matches:
+                fr = self.frames[f]
+                sims = []
+                for q_t, t_t in m:
+                    sims.append(self._binary_sim(d["binary"][q_t],
+                                                 fr["binary"][t_t]))
+                keep = np.argsort(-np.asarray(sims),
+                                  kind="stable")[:self.cfg.max_matches]
+                m = [m[k] for k in sorted(keep)]
+            out.append((f, n_votes, m))
         return out
 
     def verify(self, desc, cand_frame: int, matches):
-        """Geometric verification: per-match SVD transform, agreement
-        voting, then plane-overlap score with the winning transform."""
+        """Geometric verification: vectorized RANSAC over the full
+        collision set, then plane-overlap score with the winning
+        transform.
+
+        Each matched triangle pair is a 3-point correspondence and thus
+        a rigid-transform hypothesis (reference triangle_solver +
+        voting, BTC.cpp:1281-1420). At our collision densities the
+        correct pairs are <1% of the set, so hypotheses are drawn from
+        the `ransac_hyps` pairs with the highest occupancy-code
+        similarity (correct pairs rank high but do not separate
+        cleanly — bench_btc measured 0.90 vs 0.81 mean sim), and
+        agreement is counted over ALL pairs as the number of DISTINCT
+        query triangles consistent with the hypothesis."""
         cfg = self.cfg
         q = {k: np.asarray(v) for k, v in desc.items()}
         t_ = self.frames[cand_frame]
         qi = np.array([m[0] for m in matches])
         ti = np.array([m[1] for m in matches])
+        if len(qi) == 0:
+            return None
         sv = q["verts"][qi]      # (M, 3, 3)
         dv = t_["verts"][ti]
+        M = len(qi)
 
-        best = None
-        for m in range(len(matches)):
-            R, t = triangle_svd(sv[m], dv[m])
-            moved = sv @ R.T + t
-            agree = np.linalg.norm(moved - dv, axis=-1).max(-1) < cfg.vertex_tol
-            score = int(agree.sum())
-            if best is None or score > best[0]:
-                best = (score, R, t, agree)
-        if best is None or best[0] < 4:   # reference: >= 4 votes
+        # hypothesis ranking by code similarity
+        qb = q["binary"][qi].reshape(M, -1)
+        tb = t_["binary"][ti].reshape(M, -1)
+        inter = np.minimum(qb, tb).sum(-1)
+        sims = 2.0 * inter / np.maximum(qb.sum(-1) + tb.sum(-1), 1e-6)
+        H = min(cfg.ransac_hyps, M)
+        hyp = np.argsort(-sims)[:H]
+
+        # batched Kabsch over hypothesis pairs
+        src = sv[hyp]                                  # (H, 3, 3)
+        dst = dv[hyp]
+        mu_s = src.mean(1, keepdims=True)
+        mu_d = dst.mean(1, keepdims=True)
+        Hm = np.einsum("hvi,hvj->hij", src - mu_s, dst - mu_d)
+        U, _, Vt = np.linalg.svd(Hm)
+        det = np.sign(np.linalg.det(
+            np.einsum("hji,hkj->hik", Vt, U)))         # det(V U^T)
+        D = np.tile(np.eye(3), (H, 1, 1))
+        D[:, 2, 2] = det
+        Rh = np.einsum("hji,hjk,hlk->hil", Vt, D, U)   # V D U^T
+        th = mu_d[:, 0] - np.einsum("hij,hj->hi", Rh, mu_s[:, 0])
+
+        # agreement: distinct query triangles within vertex_tol,
+        # hypothesis-chunked to bound the (H, M, 3, 3) block
+        scores = np.zeros(H, np.int32)
+        masks = np.zeros((H, M), bool)
+        for h0 in range(0, H, 64):
+            Rc, tc = Rh[h0:h0 + 64], th[h0:h0 + 64]
+            moved = np.einsum("hij,mvj->hmvi", Rc, sv) + tc[:, None, None]
+            ok = (np.linalg.norm(moved - dv[None], axis=-1).max(-1)
+                  < cfg.vertex_tol)                    # (h, M)
+            masks[h0:h0 + ok.shape[0]] = ok
+            for hh in range(ok.shape[0]):
+                scores[h0 + hh] = len(np.unique(qi[ok[hh]]))
+        if scores.max(initial=0) < 4:   # reference: >= 4 votes
             return None
-        # refine with all agreeing matches
-        _, R, t, agree = best
-        if agree.sum() >= 2:
-            R, t = triangle_svd(sv[agree], dv[agree])
 
-        # plane-overlap score (reference plane_geometric_verify)
+        # collisions can assemble spurious >=4-triangle consensus sets
+        # whose transform is wrong; the plane-overlap score separates
+        # them sharply (wrong ~0.05, right ~0.6+), so evaluate it for
+        # the top consensus hypotheses and keep the best overlap rather
+        # than trusting the single highest vote count
         sc = q["plane_centers"][q["plane_valid"]]
         sn = q["plane_normals"][q["plane_valid"]]
-        tc = t_["plane_centers"][t_["plane_valid"]]
+        tcn = t_["plane_centers"][t_["plane_valid"]]
         tn = t_["plane_normals"][t_["plane_valid"]]
-        if len(sc) == 0 or len(tc) == 0:
+        if len(sc) == 0 or len(tcn) == 0:
             return None
-        sc2 = sc @ R.T + t
-        sn2 = sn @ R.T
-        dists = np.linalg.norm(sc2[:, None] - tc[None], axis=-1)
-        nn = dists.argmin(1)
-        ndot = np.abs(np.einsum("ni,ni->n", sn2, tn[nn]))
-        pd = np.abs(np.einsum("ni,ni->n", tn[nn], sc2 - tc[nn]))
-        overlap = ((ndot > cfg.plane_norm_tol) & (pd < cfg.plane_dist_tol)).mean()
-        return dict(R=R, t=t, votes=int(best[0]), overlap=float(overlap))
+
+        def overlap_of(R, t):
+            sc2 = sc @ R.T + t
+            sn2 = sn @ R.T
+            nn = np.linalg.norm(sc2[:, None] - tcn[None], axis=-1).argmin(1)
+            ndot = np.abs(np.einsum("ni,ni->n", sn2, tn[nn]))
+            pd = np.abs(np.einsum("ni,ni->n", tn[nn], sc2 - tcn[nn]))
+            return float(((ndot > cfg.plane_norm_tol)
+                          & (pd < cfg.plane_dist_tol)).mean())
+
+        top = np.argsort(-scores)[:8]
+        best = None
+        for hbest in top:
+            if scores[hbest] < 4:
+                break
+            agree = masks[hbest]
+            R, t = Rh[hbest], th[hbest]
+            if agree.sum() >= 2:
+                R, t = triangle_svd(sv[agree], dv[agree])
+            ov = overlap_of(R, t)
+            if best is None or ov > best["overlap"]:
+                best = dict(R=R, t=t, votes=int(scores[hbest]),
+                            overlap=ov)
+        return best

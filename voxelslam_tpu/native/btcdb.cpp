@@ -102,9 +102,9 @@ int64_t vs_btcdb_search(void* h, int64_t n, const float* sides,
                         int64_t* out_nkept, int32_t* out_pairs) {
   auto* db = (BtcDb*)h;
   const int32_t L = db->code_len;
-  // per-frame matched (query, target) pairs, insertion-ordered
-  std::unordered_map<int32_t, std::vector<std::pair<int32_t, int32_t>>>
-      votes;
+  // per-frame matched (query, target, code-sim) pairs, insertion order
+  struct Pair { int32_t q, t; float sim; };
+  std::unordered_map<int32_t, std::vector<Pair>> votes;
   std::vector<int32_t> order;  // first-seen frame order (stable sort key)
 
   std::vector<double> qsum(n);
@@ -135,10 +135,11 @@ int64_t vs_btcdb_search(void* h, int64_t n, const float* sides,
             for (int32_t k = 0; k < L; k++)
               inter += std::min(qcode[k], tcode[k]);
             double tot = qsum[t] + fr.code_sum[ref.tri];
-            if (2.0 * inter / std::max(tot, 1e-6) < binary_thr) continue;
+            double sim = 2.0 * inter / std::max(tot, 1e-6);
+            if (sim < binary_thr) continue;
             auto& v = votes[ref.frame];
             if (v.empty()) order.push_back(ref.frame);
-            v.emplace_back((int32_t)t, ref.tri);
+            v.push_back(Pair{(int32_t)t, ref.tri, (float)sim});
           }
         }
   }
@@ -155,14 +156,24 @@ int64_t vs_btcdb_search(void* h, int64_t n, const float* sides,
     if (n_out >= max_out) break;
     auto& v = votes[f];
     if ((int64_t)v.size() < min_votes) continue;
-    // diversify: at most one pair per query triangle
-    std::vector<char> seen_q(n, 0);
+    // ALL pairs up to max_matches: the RANSAC verifier needs the full
+    // collision set (a per-query-triangle dedup can drop the one
+    // correct pair behind a collision). Over the cap, keep the
+    // highest-code-similarity pairs, preserving insertion order —
+    // exactly the python implementation's selection.
+    std::vector<int32_t> idx(v.size());
+    for (size_t k = 0; k < v.size(); k++) idx[k] = (int32_t)k;
+    if ((int64_t)v.size() > max_matches) {
+      std::stable_sort(idx.begin(), idx.end(), [&](int32_t a, int32_t b) {
+        return v[a].sim > v[b].sim;
+      });
+      idx.resize(max_matches);
+      std::sort(idx.begin(), idx.end());
+    }
     int64_t kept = 0;
-    for (auto& p : v) {
-      if (seen_q[p.first]) continue;
-      seen_q[p.first] = 1;
-      out_pairs[(n_out * max_matches + kept) * 2 + 0] = p.first;
-      out_pairs[(n_out * max_matches + kept) * 2 + 1] = p.second;
+    for (int32_t k : idx) {
+      out_pairs[(n_out * max_matches + kept) * 2 + 0] = v[k].q;
+      out_pairs[(n_out * max_matches + kept) * 2 + 1] = v[k].t;
       if (++kept >= max_matches) break;
     }
     out_frames[n_out] = f;

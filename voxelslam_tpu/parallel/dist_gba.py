@@ -57,7 +57,24 @@ def all_pairs_edges(Rs, ps, H, W: int):
     return rel_R, rel_p, v6, valid
 
 
-def make_window_fleet(mesh: Mesh | None, window_step, W: int):
+def condense_window(clouds, masks, Rs, ps, vs: float, P_out: int):
+    """Merge an optimized window into first-frame coords and downsample
+    (reference HBA_add_edge's submap merge, voxelslam.cpp:2954-2985).
+    Device-side so the fleet emits finished submap clouds — the host
+    only wraps them into Keyframe records."""
+    from ..ops.downsample import voxel_downsample
+    R0, p0 = Rs[0], ps[0]
+    dR = jnp.einsum("ji,njk->nik", R0, Rs)              # R0^T R_n
+    dp = jnp.einsum("ji,nj->ni", R0, ps - p0[None])
+    moved = jnp.einsum("nij,npj->npi", dR, clouds) + dp[:, None]
+    down, dmask, _ = voxel_downsample(moved.reshape(-1, 3),
+                                      masks.reshape(-1), vs, P_out)
+    return down, dmask.astype(jnp.float32)
+
+
+def make_window_fleet(mesh: Mesh | None, window_step, W: int,
+                      condense_vs: float | None = None,
+                      point_max: int | None = None):
     """Build the jitted batched/sharded bottom-up GBA step.
 
     window_step: the single-window function from
@@ -65,24 +82,36 @@ def make_window_fleet(mesh: Mesh | None, window_step, W: int):
     wmask) -> (Rs', ps', H, r0, r1).
 
     The returned callable takes batched inputs with a leading (Nw,)
-    window axis and returns (Rs', ps', rel_R, rel_p, v6, evalid, r0, r1)
-    with the edge arrays shaped (Nw, W(W-1)/2, ...). With a mesh, Nw
-    must be a multiple of the mesh size and the batch is sharded over
-    axis "win" (shard_map of the vmapped step — each device runs its
-    windows independently, zero collectives).
+    window axis and returns (Rs', ps', rel_R, rel_p, v6, evalid, r0, r1
+    [, downs, dmasks]) with the edge arrays shaped (Nw, W(W-1)/2, ...)
+    and — when condense_vs/point_max are given — the condensed submap
+    clouds (Nw, point_max, 3) produced on device inside the same
+    sharded call (no serial host downsample between fleet batches).
+    With a mesh, Nw must be a multiple of the mesh size and the batch is
+    sharded over axis "win" (shard_map of the vmapped step — each device
+    runs its windows independently, zero collectives).
     """
+    do_condense = condense_vs is not None
 
     def batch(clouds, masks, Rs, ps, wmask):
         Rs2, ps2, H, r0, r1 = jax.vmap(window_step)(clouds, masks, Rs,
                                                     ps, wmask)
         rel_R, rel_p, v6, evalid = jax.vmap(
             lambda r, p, h: all_pairs_edges(r, p, h, W))(Rs2, ps2, H)
-        return Rs2, ps2, rel_R, rel_p, v6, evalid, r0, r1
+        outs = (Rs2, ps2, rel_R, rel_p, v6, evalid, r0, r1)
+        if do_condense:
+            downs, dmasks = jax.vmap(
+                lambda c, m, r, p: condense_window(
+                    c, m, r, p, condense_vs, point_max))(
+                clouds, masks * wmask[..., None], Rs2, ps2)
+            outs = outs + (downs, dmasks)
+        return outs
 
+    n_out = 10 if do_condense else 8
     if mesh is None or mesh.size == 1:
         return jax.jit(batch)
     spec = (P("win"),) * 5
-    out = (P("win"),) * 8
+    out = (P("win"),) * n_out
     return jax.jit(jax.shard_map(batch, mesh=mesh, in_specs=spec,
                                  out_specs=out, check_vma=False))
 
