@@ -399,8 +399,13 @@ class LoopPipeline:
 
         key = (K, E)
         if key not in self._pg_cache:
-            self._pg_cache[key] = jax.jit(
-                partial(pg.solve_pose_graph_full, iters=6))
+            # named wrapper (not a bare partial) so compile logs and
+            # profiles attribute pose-graph solves correctly
+            def _solve(R, p, ii, jj, rR, rp, W):
+                return pg.solve_pose_graph_full(R, p, ii, jj, rR, rp, W,
+                                                iters=6)
+            _solve.__name__ = f"solve_pose_graph_k{K}e{E}"
+            self._pg_cache[key] = jax.jit(_solve)
         x1_R = self.scan_poses[self.cur_session][-1].R.copy()
         x1_p = self.scan_poses[self.cur_session][-1].p.copy()
         R2, p2, chi = self._pg_cache[key](
