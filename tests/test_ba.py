@@ -74,6 +74,7 @@ class TestLidarFactor:
                 fd = (cp - cm) / (2 * eps)
                 assert abs(fd - g[i, k]) < 5e-3 + 0.05 * abs(fd), (i, k, fd, g[i, k])
 
+    @pytest.mark.slow
     def test_hessian_symmetric_psd_at_optimum(self, rng):
         fb, Rs, ps = _make_factors(rng, W=3, F=8, noise=1e-4)
         mask = jnp.ones(3)

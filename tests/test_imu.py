@@ -75,6 +75,7 @@ class TestPreintegration:
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(p1.cov), np.asarray(p2.cov), atol=1e-9)
 
+    @pytest.mark.slow
     def test_bias_jacobians_finite_difference(self):
         traj = sim.make_trajectory(duration=1.0)
         ts, gyr, acc = sim.imu_stream(traj, rate=200.0, t0=0.1, t1=0.4)
@@ -128,6 +129,7 @@ class TestPreintegration:
             np.testing.assert_allclose(vb, va, atol=1e-5 * scale,
                                        err_msg=f)
 
+    @pytest.mark.slow
     def test_merge_equals_full(self):
         traj = sim.make_trajectory(duration=1.0)
         ts, gyr, acc = sim.imu_stream(traj, rate=200.0, t0=0.0, t1=0.6)

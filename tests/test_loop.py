@@ -64,6 +64,7 @@ class TestBtc:
         assert int(np.asarray(d["tri_valid"]).sum()) > 20
         assert int(np.asarray(d["plane_valid"]).sum()) >= 6
 
+    @pytest.mark.slow
     def test_revisit_recovers_transform(self, two_visits):
         (cA, mA, RA, pA), (cB, mB, RB, pB) = two_visits
         cfg = BtcConfig()
