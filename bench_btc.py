@@ -65,7 +65,13 @@ def keyframe_cloud(scene, origin, yaw, seed, aerial=False, P=8192):
     rng = np.random.default_rng(seed)
     R0 = np.array([[np.cos(yaw), -np.sin(yaw), 0],
                    [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1.0]])
-    n_az, n_el = (96, 12) if aerial else (180, 24)
+    # aerial rays: a real Avia emits ~240k pts/s; the r4 pattern
+    # (96x12 = 1.1k rays/scan from 25+ m over 100 m scenes) left ~2
+    # points per building FACE — no descriptor can encode unobserved
+    # structure. 224x40 is still ~25x sparser than the real sensor per
+    # keyframe but gives walls the few-points-per-column the occupancy
+    # code needs; P stays 8192 via the same 0.4 m downsample.
+    n_az, n_el = (224, 40) if aerial else (180, 24)
     fov = (-1.35, -0.25) if aerial else (-0.4, 0.3)   # aerial looks down
     pts = []
     for _ in range(6 if aerial else 10):
@@ -82,14 +88,15 @@ def keyframe_cloud(scene, origin, yaw, seed, aerial=False, P=8192):
     return np.asarray(down), np.asarray(dmask, np.float32)
 
 
-def run_profile(aerial: bool, n_places=10, n_novel=6, seed0=100):
+def run_profile(aerial: bool, n_places=10, n_novel=6, seed0=100,
+                extractor: str = "projection"):
     import jax
     import jax.numpy as jnp
     from voxelslam_tpu.config import preset
     from voxelslam_tpu.loop.btc import BtcConfig, DescriptorDB, extract
 
     cfg = preset("avia_fly" if aerial else "avia")
-    bcfg = BtcConfig.profile(aerial)
+    bcfg = BtcConfig.profile(aerial, extractor=extractor)
     jud = cfg.loop.jud_default
     cand_n = cfg.loop.candidate_num
     jit_extract = jax.jit(extract, static_argnums=(2,))
@@ -157,17 +164,26 @@ def run_profile(aerial: bool, n_places=10, n_novel=6, seed0=100):
 
 
 def main():
+    # the shipped extractor per profile is "projection" (the reference's
+    # challenge-proven front-end, BTC.cpp:613-977); the r4 "structural"
+    # alternative is scored alongside per VERDICT r4 #1 so the choice
+    # stays measured, not asserted
+    extractors = ["projection", "structural"]
+    if "--shipped-only" in sys.argv:
+        extractors = ["projection"]
     for aerial, name in [(False, "ground"), (True, "aerial")]:
-        t0 = time.time()
-        r = run_profile(aerial)
-        for m in ("precision", "recall"):
-            print(json.dumps({
-                "metric": f"btc {m} ({name})",
-                "value": round(r[m], 3), "unit": "fraction",
-                "tp": r["tp"], "fp": r["fp"], "fn": r["fn"],
-                "tn": r["tn"], "n_revisit": r["n_revisit"],
-                "n_novel": r["n_novel"],
-                "wall_s": round(time.time() - t0, 1)}))
+        for ex in extractors:
+            t0 = time.time()
+            r = run_profile(aerial, extractor=ex)
+            tag = name if ex == "projection" else f"{name}, {ex}"
+            for m in ("precision", "recall"):
+                print(json.dumps({
+                    "metric": f"btc {m} ({tag})",
+                    "value": round(r[m], 3), "unit": "fraction",
+                    "tp": r["tp"], "fp": r["fp"], "fn": r["fn"],
+                    "tn": r["tn"], "n_revisit": r["n_revisit"],
+                    "n_novel": r["n_novel"],
+                    "wall_s": round(time.time() - t0, 1)}))
 
 
 if __name__ == "__main__":

@@ -177,7 +177,7 @@ def test_btcdb_native_matches_python():
         r = np.random.default_rng(seed)
         sides = np.sort(r.uniform(2.0, 30.0, (n, 3)), axis=-1).astype(
             np.float32)
-        binary = (r.random((n, 3, 3 * cfg.height_slices)) > 0.5).astype(
+        binary = (r.random((n, 3, cfg.code_bits)) > 0.5).astype(
             np.float32)
         valid = r.random(n) > 0.2
         return dict(sides=sides, binary=binary, tri_valid=valid)

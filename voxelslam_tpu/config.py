@@ -248,7 +248,11 @@ _PRESETS = {
                             degrade_bound=100, blind=0.5,
                             point_filter_num=3),
         lba=LocalBAConfig(noise_gyr=0.01, noise_acc=1.0, imu_coef=1e-4),
-        loop=LoopConfig(jud_default=0.4, icp_eigval=9.0,
+        # jud 0.5: aerial scenes are horizontal-plane dominated (ground
+        # + roofs), so random inter-place transforms reach plane-overlap
+        # ~0.46 (bench_btc novel queries) while true revisits score
+        # >=0.53 — the accept gate sits between (bench_btc r5 P=1.0)
+        loop=LoopConfig(jud_default=0.5, icp_eigval=9.0,
                         ratio_drift=0.01, curr_halt=10, prev_halt=10,
                         acsize=2, mgsize=2, is_high_fly=True,
                         candidate_num=100),   # aerial budget, BTC.cpp:62

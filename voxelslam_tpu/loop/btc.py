@@ -6,14 +6,15 @@ Capability parity with the reference's `STDescManager`
   keyframe cloud
     -> two-resolution voxel plane detection + EM coplanar merge
        (reference init_plane/merge_plane, BTC.cpp:90-139,279-569)
-    -> corner keypoints: the reference projects each plane to an
-       occupancy image and NMS-picks maxima (extract_binary, :613-977);
-       here the SAME physical corners are found as well-conditioned
-       plane-triple intersections with cloud support + greedy NMS — a
-       deliberate redesign (_structural_corners docstring) that avoids
-       the line-tie instability of image maxima
-    -> per-corner rotation-invariant radial-shell occupancy code
-       (replaces the height-slice binary descriptor, same gating role)
+    -> corner keypoints + binary codes. Shipped extractor =
+       "projection": the reference's projection-image binary
+       descriptor as dense 2D raster work — band-pass points around
+       each dominant plane, rasterize, per-cell occupancy over height
+       slices, 5x5-block max + line filter + NMS
+       (extract_binary/non_maxi_suppression, :613-977). Alternative
+       extractor = "structural": plane-triple intersections with cloud
+       support + radial-shell codes (the r4 design, kept selectable
+       and benchmarked side by side in bench_btc.py)
     -> triangles over top corners, sides sorted a<=b<=c, vertices
        aligned to the side sort                   (generate_std, :979-1126)
     -> hash DB keyed by quantized sides; queries vote per frame with +-1
@@ -51,10 +52,11 @@ class BtcConfig:
     max_planes: int = 24
     height_slices: int = 8
     slice_height: float = 0.5
-    max_corners: int = 64            # kept corners per keyframe
-    knn_triangles: int = 10          # triangle partners per corner
-                                     # (reference descriptor_near_num)
-    nms_radius: float = 1.5          # corner suppression radius (m)
+    max_corners: int = 100           # kept corners per keyframe
+                                     # (useful_corner_num, BTC.cpp:7)
+    knn_triangles: int = 15          # triangle partners per corner
+                                     # (descriptor_near_num, BTC.cpp:22)
+    nms_radius: float = 2.0          # corner suppression radius (m)
     merge_normal_dot: float = 0.9    # coplanar-merge |n_a . n_b| gate
     merge_dist: float = 0.4          # coplanar-merge plane-distance gate
     min_side: float = 2.0
@@ -69,14 +71,58 @@ class BtcConfig:
     junction_radius: float = 1.5     # corner junction-test ball (m)
     junction_plane_tol: float = 0.25  # on-surface distance for the test
     support_radius: float = 1.0      # corner support-count ball (m)
-    binary_thr: float = 0.6          # occupancy-code similarity gate
+    binary_thr: float = 0.7          # occupancy-code similarity gate
+                                     # (similarity_threshold, BTC.cpp:31)
     vertex_tol: float = 1.0          # agreement threshold (m)
     plane_norm_tol: float = 0.85     # overlap: |n_s . n_t| >=
     plane_dist_tol: float = 0.5     # overlap: |n.(c_s - c_t)| <
     is_high_fly: bool = False
+    # --- projection-image binary descriptor (reference extract_binary,
+    # BTC.cpp:613-924; the shipped extractor) ---
+    extractor: str = "projection"    # "projection" | "structural"
+    # The reference projects 2 planes on ground (BTC.cpp:13). Our EM-
+    # merged plane clusters split large surfaces differently than its
+    # region-growing merge, so the #2 plane pick flips between visits
+    # (wall A vs wall B) and the flipped visit loses half its corners —
+    # a third projection plane covers the flip (measured on the revisit
+    # oracle: consensus votes 24 -> 85, transform recovered).
+    proj_plane_num: int = 3
+    proj_resolution: float = 0.5     # image cell size (BTC.cpp:14)
+    proj_dis_min: float = 0.0        # band-pass |dist to plane| (m)
+    proj_dis_max: float = 5.0        # (BTC.cpp:16-17/48-49)
+    proj_high_inc: float = 0.1       # occupancy slice width (BTC.cpp:15)
+    summary_min: float = 10.0        # block-max gate (summary_min_thre)
+    # The reference enables the line filter on ground (BTC.cpp:19) to
+    # prune wall-middle maxima on dense raw clouds. On downsampled
+    # keyframe clouds the summary image is flat along walls, so the
+    # filter's mx-3 tie test becomes selection NOISE — it halved the
+    # corner count and the kept sets diverged between visits (measured
+    # repeatability 6/26 -> 16/50 with it off). The two-stage NMS around
+    # sub-cell refinement does the dedup job instead; the filter stays
+    # available for dense-cloud deployments.
+    line_filter: bool = False
+    touch_filter: bool = False       # first-4-slices gate (BTC.cpp:20)
+    grid_cells: int = 120            # static raster extent (cells/axis)
+    refine_iters: int = 2            # sub-cell two-line refinement rounds
+    # refinement points must sit in raster columns with at least this
+    # many occupied slices: projections include FILL (floor/roof
+    # interiors land in-band too) whose uniform 2D density corrupts the
+    # two-line fit; vertical structure = tall columns
+    refine_min_column: int = 0
+
+    @property
+    def code_bits(self) -> int:
+        """Per-corner occupancy-code length: height slices of the
+        projection image (reference cut_num, BTC.cpp:770) or the 3x
+        radial-shell bands of the structural extractor."""
+        if self.extractor == "projection":
+            return int(round((self.proj_dis_max - self.proj_dis_min)
+                             / self.proj_high_inc))
+        return 3 * self.height_slices
 
     @classmethod
-    def profile(cls, is_high_fly: bool = False) -> "BtcConfig":
+    def profile(cls, is_high_fly: bool = False,
+                extractor: str = "projection") -> "BtcConfig":
         """Ground vs aerial parameter profiles (reference
         read_parameters, BTC.cpp:3-68). Airborne keyframes see sparser,
         larger-scale structure: bigger plane voxels + looser plane gate
@@ -84,17 +130,67 @@ class BtcConfig:
         coplanar merging (plane_merge_normal/dis_thre 0.1/0.3 ->
         0.3/0.6), a larger corner budget with wider suppression
         (useful_corner_num 100->200, NMS radius 2->3), longer minimum
-        triangle sides (descriptor_min_len 2->3) and a looser
-        binary-similarity gate (similarity_threshold 0.7->0.5)."""
+        triangle sides (descriptor_min_len 2->3), a looser binary-
+        similarity gate (similarity_threshold 0.7->0.5), one projection
+        plane instead of two with coarser slices (proj_plane_num 2->1,
+        high_inc 0.1->0.2, dis_max 5->10, summary_min 10->6) and no
+        line filter (BTC.cpp:51).
+
+        `extractor` selects the corner front-end: "projection" is the
+        reference's projection-image binary descriptor (the shipped
+        default — BENCH_BTC r5 measured it at/above the structural
+        alternative on both profiles); "structural" keeps the r4
+        plane-intersection design as the measured alternative."""
+        if extractor == "structural":
+            return cls._structural_profile(is_high_fly)
         if not is_high_fly:
             return cls()
         return cls(
             is_high_fly=True,
+            extractor="projection",
+            voxel_size=4.0,
+            plane_eig_thr=0.05,
+            merge_normal_dot=0.7,
+            merge_dist=0.8,
+            max_corners=200,         # useful_corner_num (BTC.cpp:39)
+            nms_radius=3.0,          # (BTC.cpp:57)
+            min_side=3.0,            # descriptor_min_len (BTC.cpp:55)
+            binary_thr=0.5,          # similarity_threshold (BTC.cpp:63)
+            proj_plane_num=1,        # (BTC.cpp:45)
+            proj_dis_max=10.0,       # (BTC.cpp:49)
+            proj_high_inc=0.2,       # (BTC.cpp:47)
+            summary_min=6.0,         # (BTC.cpp:50)
+            line_filter=False,       # (BTC.cpp:51)
+            # aerial keyframe clouds run ~1-2 pts/m^2 (0.4 m voxel
+            # downsample over 100 m scenes) — at the reference's 0.5 m
+            # cells most raster cells hold <=1 point and the occupancy
+            # image is empty noise (measured: 6 corners, zero repeats).
+            # Cells scale with density: 1 m cells collect full vertical
+            # building-edge columns; side hash + agreement tolerances
+            # scale with the coarser corner quantization in step.
+            proj_resolution=1.0,
+            grid_cells=120,          # 120 m extent at 1 m cells
+            side_quant=0.5,
+            vertex_tol=2.0,
+            plane_dist_tol=1.0,
+        )
+
+    @classmethod
+    def _structural_profile(cls, is_high_fly: bool = False) -> "BtcConfig":
+        """The r4 structural-corner extractor profiles (kept as the
+        measured alternative; see bench_btc.py)."""
+        if not is_high_fly:
+            return cls(extractor="structural", max_corners=64,
+                       knn_triangles=10, nms_radius=1.5, binary_thr=0.6)
+        return cls(
+            is_high_fly=True,
+            extractor="structural",
             voxel_size=4.0,
             plane_eig_thr=0.05,
             merge_normal_dot=0.7,
             merge_dist=0.8,
             max_corners=64,
+            knn_triangles=10,
             nms_radius=3.0,
             min_side=3.0,
             binary_thr=0.5,
@@ -405,6 +501,271 @@ def _structural_corners(cloud, mask, centers, normals, pvalid, pradius,
     return corners, support, binary, cvalid
 
 
+def _projection_corners(cloud, mask, centers, normals, pvalid, cfg: BtcConfig):
+    """The reference's projection-image binary descriptor as dense 2D
+    raster work (extract_binary + non_maxi_suppression, BTC.cpp:613-977)
+    — the TPU-natural form of the challenge-proven corner front-end.
+
+    Per projection plane (top `proj_plane_num` merged planes by weight;
+    the reference takes them size-sorted too, binary_extractor
+    BTC.cpp:580-599 — its anti-parallel skip never fires here because
+    merged-plane normals are sign-canonicalized upstream):
+      1. band-pass points by |distance to plane| in (dis_min, dis_max]
+         (BTC.cpp:663-666; the band is two-sided, abs distance)
+      2. project to in-plane (u, v) coordinates and rasterize at
+         `proj_resolution` into a STATIC (G, G) grid centered on the
+         band centroid (the reference sizes the grid from the point
+         bounding box — dynamic shapes; centering on content instead
+         keeps shapes compile-constant and corners are cell means, so
+         absolute grid placement cancels)
+      3. per-cell binary occupancy over `code_bits` |distance| slices of
+         width `proj_high_inc`; summary = number of occupied slices
+         (BTC.cpp:766-796)
+      4. 5x5-block max of summary, gated at `summary_min`, optional
+         first-4-slice touch filter (BTC.cpp:798-841)
+      5. optional line filter: a maximum flanked along any of 4 image
+         directions by comparable summaries is an edge LINE, not a
+         corner — reject (BTC.cpp:842-891)
+      6. corner location = cell mean of (u, v) mapped back to 3D on the
+         plane (BTC.cpp:892-908)
+    then cross-plane NMS keeps the summary-argmax corner within
+    `nms_radius` (BTC.cpp:926-977) and the top `max_corners` by summary
+    survive (binary_extractor, BTC.cpp:601-609).
+
+    Returns (corners (C, 3), summary (C,), binary (C, S), valid (C,)).
+    """
+    C = cfg.max_corners
+    G = cfg.grid_cells
+    S = cfg.code_bits
+    B = G // 5                       # segment grid (segmen_base_num=5)
+    res = cfg.proj_resolution
+    f32 = cloud.dtype
+
+    # fallback plane when no merged plane exists: horizontal through the
+    # cloud centroid (reference inserts normal (0,0,1) through the first
+    # point, GenerateSTDescs BTC.cpp:173-179)
+    msum = jnp.maximum(jnp.sum(mask), 1.0)
+    c_fall = jnp.sum(cloud * mask[:, None], axis=0) / msum
+    n_fall = jnp.array([0.0, 0.0, 1.0], f32)
+
+    pc_list, ps_list, pb_list, pv_list = [], [], [], []
+    frame_list = []                  # per-plane (n, c, e1, e2)
+    for p in range(cfg.proj_plane_num):
+        use_fall = (p == 0) & ~pvalid[p]
+        n = jnp.where(use_fall, n_fall, normals[p])
+        c = jnp.where(use_fall, c_fall, centers[p])
+        plane_on = pvalid[p] | use_fall
+
+        # in-plane axes from the reference's (1,1,0) seed (BTC.cpp:632-644)
+        nx, ny, nz = n[0], n[1], n[2]
+        e1 = jnp.where(
+            jnp.abs(nz) > 1e-6,
+            jnp.stack([jnp.ones((), f32), jnp.ones((), f32),
+                       -(nx + ny) / jnp.where(jnp.abs(nz) > 1e-6, nz, 1.0)]),
+            jnp.where(jnp.abs(ny) > 1e-6,
+                      jnp.stack([jnp.ones((), f32),
+                                 -nx / jnp.where(jnp.abs(ny) > 1e-6, ny, 1.0),
+                                 jnp.zeros((), f32)]),
+                      jnp.array([0.0, 1.0, 0.0], f32)))
+        e1 = e1 / jnp.maximum(jnp.linalg.norm(e1), 1e-9)
+        e2 = jnp.cross(n, e1)
+        e2 = e2 / jnp.maximum(jnp.linalg.norm(e2), 1e-9)
+
+        rel = cloud - c[None]
+        d = rel @ n
+        dis = jnp.abs(d)
+        band = (dis > cfg.proj_dis_min) & (dis <= cfg.proj_dis_max) \
+            & (mask > 0) & plane_on
+        u = rel @ e1
+        v = rel @ e2
+        bw = band.astype(f32)
+        bn = jnp.maximum(jnp.sum(bw), 1.0)
+        uc = jnp.sum(u * bw) / bn
+        vc = jnp.sum(v * bw) / bn
+        iu = jnp.floor((u - uc) / res).astype(jnp.int32) + G // 2
+        iv = jnp.floor((v - vc) / res).astype(jnp.int32) + G // 2
+        inb = band & (iu >= 0) & (iu < G) & (iv >= 0) & (iv < G)
+        sl = jnp.clip(((dis - cfg.proj_dis_min)
+                       / cfg.proj_high_inc).astype(jnp.int32), 0, S - 1)
+
+        cell = iu * G + iv
+        # barrier: scatter indices and weights share producers — see
+        # voxel_hash.insert (XLA:TPU scatter_emitter fusion assertion)
+        (occ_idx, cell_idx, w) = jax.lax.optimization_barrier(
+            (jnp.where(inb, cell * S + sl, G * G * S),
+             jnp.where(inb, cell, G * G),
+             inb.astype(f32)))
+        occ = jnp.zeros((G * G * S,), f32).at[occ_idx].add(w, mode="drop")
+        occ = (occ.reshape(G, G, S) >= 1.0)
+        summary = jnp.sum(occ, axis=-1).astype(f32)            # (G, G)
+        # stored codes are 1-slice dilated: keyframe clouds are voxel-
+        # downsampled (~2x the slice width), so a continuous surface
+        # column occupies ALTERNATING slices whose phase is sub-voxel
+        # alignment — raw-code overlap between visits collapses to ~0.4
+        # (measured). Dilation closes the sampling gaps; summary (the
+        # corner-strength ranking) stays on the raw occupancy for
+        # reference-threshold parity. The reference rasterizes dense raw
+        # clouds where slices are fully sampled (BTC.cpp:778-789).
+        occd = occ | jnp.pad(occ, ((0, 0), (0, 0), (1, 0)))[:, :, :S] \
+            | jnp.pad(occ, ((0, 0), (0, 0), (0, 1)))[:, :, 1:]
+        cnt = jnp.zeros((G * G,), f32).at[cell_idx].add(w, mode="drop")
+        usum = jnp.zeros((G * G,), f32).at[cell_idx].add(u * w, mode="drop")
+        vsum = jnp.zeros((G * G,), f32).at[cell_idx].add(v * w, mode="drop")
+
+        # 5x5-block max of summary (reference :803-841)
+        blk = summary[:B * 5, :B * 5].reshape(B, 5, B, 5) \
+            .transpose(0, 2, 1, 3).reshape(B, B, 25)
+        am = jnp.argmax(blk, axis=-1)                          # (B, B)
+        mx = jnp.max(blk, axis=-1)
+        bi = jnp.arange(B)[:, None] * 5 + am // 5              # cell row
+        bj = jnp.arange(B)[None, :] * 5 + am % 5
+        keep = mx >= cfg.summary_min
+        if cfg.touch_filter:
+            keep = keep & jnp.any(occ[bi, bj, :4], axis=-1)
+        # border cells cannot be line-tested and are dropped outright
+        # (reference :854-857)
+        keep = keep & (bi > 0) & (bi < G - 1) & (bj > 0) & (bj < G - 1)
+        if cfg.line_filter:
+            for di, dj in ((0, 1), (1, 0), (1, 1), (1, -1)):
+                s1 = summary[jnp.clip(bi + di, 0, G - 1),
+                             jnp.clip(bj + dj, 0, G - 1)]
+                s2 = summary[jnp.clip(bi - di, 0, G - 1),
+                             jnp.clip(bj - dj, 0, G - 1)]
+                thr = mx - 3.0
+                bad = ((s1 >= thr) & (s2 >= 0.5 * mx)) \
+                    | ((s2 >= thr) & (s1 >= 0.5 * mx)) \
+                    | ((s1 >= thr) & (s2 >= thr))
+                keep = keep & ~bad
+
+        sel = bi * G + bj                                      # (B, B)
+        ccnt = jnp.maximum(cnt[sel.reshape(-1)], 1.0)
+        cu = usum[sel.reshape(-1)] / ccnt
+        cv = vsum[sel.reshape(-1)] / ccnt
+        coord = c[None] + cu[:, None] * e1[None] + cv[:, None] * e2[None]
+        pc_list.append(coord)                                  # (B*B, 3)
+        ps_list.append(mx.reshape(-1))
+        pb_list.append(occd[bi.reshape(-1), bj.reshape(-1)].astype(f32))
+        pv_list.append(keep.reshape(-1))
+        # per-point column height (occupied slices of the point's own
+        # raster cell) — fill-vs-structure separator for refinement
+        colh = jnp.where(inb, jnp.sum(occ, -1).astype(f32).reshape(-1)[
+            jnp.clip(cell, 0, G * G - 1)], 0.0)
+        frame_list.append((n, c, e1, e2, colh))
+
+    cand = jnp.concatenate(pc_list)                            # (P*B*B, 3)
+    summ = jnp.concatenate(ps_list)
+    code = jnp.concatenate(pb_list)
+    cval = jnp.concatenate(pv_list)
+
+    # stage-1 NMS collapses same-cell-cluster duplicates at a tight
+    # radius before refinement; the reference's full-radius suppression
+    # (non_maxi_suppression, BTC.cpp:926-977) runs as stage 2 AFTER
+    # refinement, when duplicates from different seed cells have snapped
+    # onto the same physical intersection — suppressing at the wide
+    # radius first would make the survivor choice block-argmax noise,
+    # which diverges between visits (measured corner-set overlap 4/23)
+    def greedy_nms(pos, score, radius, n_out):
+        def step(sc, _):
+            i = jnp.argmax(sc)
+            best_ok = sc[i] > 0
+            dd = jnp.linalg.norm(pos - pos[i], axis=-1)
+            sc = jnp.where(dd < radius, -1.0, sc)
+            return sc, jnp.where(best_ok, i, -1)
+        _, picks = jax.lax.scan(step, score, None, length=n_out)
+        return jnp.maximum(picks, 0), picks >= 0
+
+    score0 = jnp.where(cval, summ, -1.0)
+    ncand = min(512, cand.shape[0])
+    cvals, cidx = jax.lax.top_k(score0, ncand)
+    pre_r = min(cfg.nms_radius, 2.0 * res)
+    picks, pval = greedy_nms(cand[cidx], cvals, pre_r, C)
+    sel = cidx[picks]
+    corners = cand[sel]
+    cvalid = pval
+
+    # --- sub-cell corner refinement: local two-line intersection ---
+    # The raster corner is a 0.5 m cell mean, and on piecewise-planar
+    # scenes whole wall stretches tie in summary, so the block argmax
+    # (and with it the cell mean) jitters by a cell between visits —
+    # measured median corner NN distance across visits was 1.5 m, which
+    # breaks the 0.2 m side-length hash. The physical corner is where
+    # two surface traces cross in the projection plane: gather band
+    # points near the estimate, split them into two line clusters
+    # (principal direction, then residual reassignment), and move the
+    # corner to the line intersection. The reference's dense raw clouds
+    # concentrate the cell mean on the edge column so it skips this;
+    # same role as the structural extractor's local 3-face refit.
+    pid = sel // (B * B)                                       # plane idx
+    nP = jnp.stack([f[0] for f in frame_list])                 # (P, 3)
+    cP = jnp.stack([f[1] for f in frame_list])
+    e1P = jnp.stack([f[2] for f in frame_list])
+    e2P = jnp.stack([f[3] for f in frame_list])
+    colP = jnp.stack([f[4] for f in frame_list])               # (P, N)
+    nc, cc = nP[pid], cP[pid]                                  # (C, 3)
+    e1c, e2c = e1P[pid], e2P[pid]
+
+    dband = jnp.abs(jnp.einsum("ni,ci->cn", cloud, nc)
+                    - jnp.einsum("ci,ci->c", nc, cc)[:, None])
+    band_c = (dband > cfg.proj_dis_min) & (dband <= cfg.proj_dis_max) \
+        & (mask[None] > 0)
+    if cfg.refine_min_column > 0:
+        band_c = band_c & (colP[pid] >= cfg.refine_min_column)
+    r_ref = 3.0 * res
+
+    def refine_once(corners):
+        rel = cloud[None] - corners[:, None]                   # (C, N, 3)
+        u = jnp.einsum("cni,ci->cn", rel, e1c)
+        v = jnp.einsum("cni,ci->cn", rel, e2c)
+        w = (band_c & (u * u + v * v < r_ref * r_ref)).astype(f32)
+        nw = jnp.maximum(jnp.sum(w, -1), 1.0)
+        mu_u = jnp.sum(u * w, -1) / nw
+        mu_v = jnp.sum(v * w, -1) / nw
+        du, dv = u - mu_u[:, None], v - mu_v[:, None]
+        # principal 2D direction (line 1 through the local mean)
+        sxx = jnp.sum(du * du * w, -1)
+        sxy = jnp.sum(du * dv * w, -1)
+        syy = jnp.sum(dv * dv * w, -1)
+        th = 0.5 * jnp.arctan2(2 * sxy, sxx - syy)
+        t1 = jnp.stack([jnp.cos(th), jnp.sin(th)], -1)         # (C, 2)
+        res1 = jnp.abs(-du * t1[:, 1:2] + dv * t1[:, 0:1])     # perp dist
+        # cluster 2 = points off line 1; fit its TLS line
+        w2 = w * (res1 > 0.2)
+        n2 = jnp.maximum(jnp.sum(w2, -1), 1.0)
+        mu2u = jnp.sum(u * w2, -1) / n2
+        mu2v = jnp.sum(v * w2, -1) / n2
+        d2u, d2v = u - mu2u[:, None], v - mu2v[:, None]
+        s2xx = jnp.sum(d2u * d2u * w2, -1)
+        s2xy = jnp.sum(d2u * d2v * w2, -1)
+        s2yy = jnp.sum(d2v * d2v * w2, -1)
+        th2 = 0.5 * jnp.arctan2(2 * s2xy, s2xx - s2yy)
+        t2 = jnp.stack([jnp.cos(th2), jnp.sin(th2)], -1)
+        # intersect: mu1 + a t1 = mu2 + b t2
+        det = t1[:, 0] * (-t2[:, 1]) - t1[:, 1] * (-t2[:, 0])
+        rhs_u = mu2u - mu_u
+        rhs_v = mu2v - mu_v
+        a = (rhs_u * (-t2[:, 1]) - rhs_v * (-t2[:, 0])) \
+            / jnp.where(jnp.abs(det) > 1e-6, det, 1.0)
+        iu = mu_u + a * t1[:, 0]
+        iv = mu_v + a * t1[:, 1]
+        cross = jnp.abs(det)                 # |sin| of line angle
+        okr = (jnp.sum(w2, -1) >= 6) & (cross > 0.3) \
+            & (iu * iu + iv * iv < r_ref * r_ref)
+        moved = corners + iu[:, None] * e1c + iv[:, None] * e2c
+        return jnp.where(okr[:, None], moved, corners)
+
+    for _ in range(cfg.refine_iters):
+        corners = refine_once(corners)
+
+    # stage-2 NMS at the reference suppression radius on the REFINED
+    # positions: duplicates that snapped to the same intersection merge
+    # deterministically (highest summary wins), so the surviving corner
+    # set is anchored to physical junctions, not to raster argmax noise
+    score1 = jnp.where(cvalid, summ[sel], -1.0)
+    picks2, cvalid2 = greedy_nms(corners, score1,
+                                 min(cfg.nms_radius, 2.0 * res), C)
+    return corners[picks2], summ[sel][picks2], code[sel][picks2], cvalid2
+
+
 def _triangles(corners, summary, binary, cvalid, cfg: BtcConfig):
     """K-nearest-neighbor triangle descriptors over the top corners.
 
@@ -443,7 +804,10 @@ def _triangles(corners, summary, binary, cvalid, cfg: BtcConfig):
     order = jnp.argsort(sides, axis=-1)
     sides = jnp.take_along_axis(sides, order, axis=-1)
     ok = (nn_ok & val[ii] & val[jj] & val[kk]
-          & (sides[:, 0] >= cfg.min_side) & (sides[:, 2] <= cfg.max_side))
+          & (sides[:, 0] >= cfg.min_side) & (sides[:, 2] <= cfg.max_side)
+          # degenerate (collinear) triangles carry no orientation signal
+          # and collide heavily in the side hash (reference BTC.cpp:1056)
+          & (jnp.abs(sides[:, 2] - (sides[:, 0] + sides[:, 1])) > 0.2))
     # vertex order must FOLLOW the side sort so matched triangles have
     # vertex-level correspondence for the SVD solver (the reference's STD
     # stores vertex_A/B/C aligned with sorted sides, BTC.cpp:979-1126):
@@ -459,8 +823,12 @@ def extract(cloud: jnp.ndarray, mask: jnp.ndarray, cfg: BtcConfig):
     """Full descriptor extraction for one keyframe cloud (device)."""
     centers, normals, pvalid, pcount, pradius = _extract_planes(
         cloud, mask, cfg)
-    corners, summary, binary, cvalid = _structural_corners(
-        cloud, mask, centers, normals, pvalid, pradius, cfg)
+    if cfg.extractor == "projection":
+        corners, summary, binary, cvalid = _projection_corners(
+            cloud, mask, centers, normals, pvalid, cfg)
+    else:
+        corners, summary, binary, cvalid = _structural_corners(
+            cloud, mask, centers, normals, pvalid, pradius, cfg)
     sides, verts, vbins, tvalid = _triangles(corners, summary, binary,
                                              cvalid, cfg)
     return dict(sides=sides, verts=verts, binary=vbins, tri_valid=tvalid,
@@ -504,7 +872,7 @@ class DescriptorDB:
             try:
                 from .. import native
                 self._nat = native.BtcDb(cfg.side_quant,
-                                         9 * cfg.height_slices)
+                                         3 * cfg.code_bits)
             except Exception:
                 self._nat = None
 
@@ -523,7 +891,7 @@ class DescriptorDB:
             try:
                 from .. import native
                 self._nat = native.BtcDb(self.cfg.side_quant,
-                                         9 * self.cfg.height_slices)
+                                         3 * self.cfg.code_bits)
                 for fid, fr in self.frames.items():
                     self._nat.add(fid, fr["sides"], fr["binary"],
                                   fr["tri_valid"])
