@@ -116,7 +116,11 @@ def main():
     n_kf = 5 * (n_windows - 1) + 10
     kfs = make_keyframes(n_kf, P=P)
 
-    # ---- single-device sequential windows --------------------------------
+    # ---- single-device streaming windows ---------------------------------
+    # the production path (SlamSystem streams keyframes through
+    # add_keyframe): window N+1 dispatches before window N's readback,
+    # so the wall clock includes BA + edge extraction + condense yet
+    # approaches pure device-busy time (dispatch-ahead pipeline)
     single = HbaRunner(cfg, kf_point_max=P, capacity=1 << 12,
                        unique_max=2048)
     windows = []
@@ -127,25 +131,34 @@ def main():
             windows.append(list(pend))
             pend = pend[5:]
     windows = windows[:n_windows]
-    single._run_window(windows[0], 10)          # warm up compile
+
+    def stream_all():
+        single.submaps.clear()
+        single.edges1.clear()
+        single._pending = []
+        for kf in kfs:
+            single.add_keyframe(kf)
+        single.flush()
+        return len(single.submaps)
+
+    n_win_run = stream_all()                    # warm up compiles
     # timed loop runs WITHOUT the profiler (trace capture through the
     # tunneled backend inflates wall clock ~4x); busy time comes from a
-    # separate traced pass over the same windows
+    # separate traced pass over the same stream
     t0 = time.perf_counter()
-    for w in windows:
-        single._run_window(w, 10)
-    t_single = (time.perf_counter() - t0) / len(windows)
+    n_win_run = stream_all()
+    t_single = (time.perf_counter() - t0) / n_win_run
     trace_1 = tempfile.mkdtemp(prefix="gba_trace1_")
     with jax.profiler.trace(trace_1):
-        for w in windows:
-            single._run_window(w, 10)
+        stream_all()
     busy_1, host_busy_1 = _busy_ms(trace_1)
     print(json.dumps({
         "metric": "gba windows/s (bottom-up window BA, 10x4096 pts)",
         "value": round(1.0 / t_single, 3), "unit": "windows/s",
         "platform": devs[0].platform, "n_devices_used": 1,
+        "n_windows": n_win_run,
         "device_busy_ms_per_window": round(
-            sum(busy_1.values()) / len(windows), 2) if busy_1 else None}))
+            sum(busy_1.values()) / n_win_run, 2) if busy_1 else None}))
 
     if D > 1:
         # ---- sharded fleet over all devices ------------------------------
@@ -154,12 +167,12 @@ def main():
                             unique_max=2048, mesh=mesh,
                             fleet_batch=n_windows)
         sharded._win_queue = [list(w) for w in windows]
-        sharded._flush_windows()               # warm up compile
+        sharded.flush()                        # warm up compile
         sharded.submaps.clear()
         sharded.edges1.clear()
         t0 = time.perf_counter()
         sharded._win_queue = [list(w) for w in windows]
-        out = sharded._flush_windows()
+        out = sharded.flush()
         t_flush = time.perf_counter() - t0
         t_shard = t_flush / len(windows)
         trace_d = tempfile.mkdtemp(prefix="gba_traceD_")
@@ -167,7 +180,7 @@ def main():
         sharded.edges1.clear()
         sharded._win_queue = [list(w) for w in windows]
         with jax.profiler.trace(trace_d):
-            sharded._flush_windows()
+            sharded.flush()
         # host work per window: re-run the flush with the fleet call
         # replaced by its cached outputs — times ONLY the padding /
         # unpack / object-building host sections
@@ -181,13 +194,13 @@ def main():
         sharded.submaps.clear()
         sharded.edges1.clear()
         sharded._win_queue = [list(w) for w in windows]
-        sharded._flush_windows()
+        sharded.flush()
         sharded._fleet_cache[(10, 1024)] = lambda *a: cached["out"]
         sharded.submaps.clear()
         sharded.edges1.clear()
         t0 = time.perf_counter()
         sharded._win_queue = [list(w) for w in windows]
-        sharded._flush_windows()
+        sharded.flush()
         host_ms = (time.perf_counter() - t0) * 1e3 / len(windows)
         eff_wall = (t_single / t_shard) / D
         busy_d, host_busy_d = _busy_ms(trace_d)

@@ -91,6 +91,7 @@ class TestBottomUp:
         kfs, _ = make_keyframes(scene, 15, seed=5, perturb=0.01)
         for kf in kfs:
             hba.add_keyframe(kf)
+        hba.flush()   # dispatch-ahead pipeline: fetch in-flight windows
         assert len(hba.submaps) == 2
         assert len(hba.edges1) > 10
         e = hba.edges1[0]

@@ -66,6 +66,14 @@ class HbaRunner:
         self.edges2: list[LoopEdge] = []
         self.submaps: list[Keyframe] = []
         self._pending: list[Keyframe] = []
+        # dispatch-ahead pipeline (single-device path): window N's step
+        # outputs and condensed submap stay on device until window N+1
+        # has been DISPATCHED, so the host-blocking readback of N
+        # overlaps the device execution of N+1 (the reference's GBA
+        # thread likewise overlaps with odometry, voxelslam.cpp:3018)
+        self._inflight_step = None   # (window, device step outputs)
+        self._inflight_cond = None   # (first_kf, down_dev, dmask_dev)
+        self._fleet_inflight = None  # (queue, device fleet outputs)
 
     # -- device step --------------------------------------------------------
 
@@ -174,10 +182,10 @@ class HbaRunner:
                 condense_window, vs=vs, P_out=self.kf_point_max))
         return self._step_cache[key]
 
-    def _run_window(self, kfs: list[Keyframe], W_pad: int,
-                    factor_max: int = 1024):
-        """One window BA; returns (xs_opt list, H numpy)."""
-        n = len(kfs)
+    def _dispatch_window(self, kfs: list[Keyframe], W_pad: int,
+                         factor_max: int = 1024):
+        """Enqueue one window BA on device; returns the un-fetched
+        device outputs (Rs2, ps2, H, r0, r1)."""
         P = self.kf_point_max
         clouds = np.zeros((W_pad, P, 3), np.float32)
         masks = np.zeros((W_pad, P), np.float32)
@@ -192,9 +200,14 @@ class HbaRunner:
             ps[i] = kf.p0
             wmask[i] = 1.0
         step = self._get_step(W_pad, factor_max)
-        Rs2, ps2, H, r0, r1 = step(jnp.array(clouds), jnp.array(masks),
-                                   jnp.array(Rs), jnp.array(ps),
-                                   jnp.array(wmask))
+        return step(jnp.array(clouds), jnp.array(masks), jnp.array(Rs),
+                    jnp.array(ps), jnp.array(wmask))
+
+    def _run_window(self, kfs: list[Keyframe], W_pad: int,
+                    factor_max: int = 1024):
+        """One window BA, synchronous; returns (xs_opt list, H numpy)."""
+        n = len(kfs)
+        Rs2, ps2, H, r0, r1 = self._dispatch_window(kfs, W_pad, factor_max)
         return (np.asarray(Rs2, np.float64)[:n],
                 np.asarray(ps2, np.float64)[:n],
                 np.asarray(H, np.float64), float(r0), float(r1))
@@ -217,11 +230,10 @@ class HbaRunner:
                     ord_a=kfs[i].scan_id, ord_b=kfs[j].scan_id,
                     R=rel_R, t=rel_p, v6=1.0 / hij))
 
-    def _condense(self, kfs, Rs, ps, kf_index: int | None = None) -> Keyframe:
-        """Merge the window into first-frame coords + downsample at
-        voxel_size/8 (reference :2954-2985) — one jitted device call
-        (dist_gba.condense_window); the fleet path computes the same
-        thing inside its sharded call."""
+    def _dispatch_condense(self, kfs, Rs, ps):
+        """Enqueue the window condense (merge into first-frame coords +
+        downsample at voxel_size/8, reference :2954-2985); returns the
+        un-fetched (down, dmask) device arrays."""
         P = self.kf_point_max
         n = len(kfs)
         clouds = np.zeros((n, P, 3), np.float32)
@@ -230,10 +242,16 @@ class HbaRunner:
             m = min(kf.cloud.shape[0], P)
             clouds[i, :m] = kf.cloud[:m]
             masks[i, :m] = kf.mask[:m]
-        down, dmask = self._get_condense(n)(
+        return self._get_condense(n)(
             jnp.array(clouds), jnp.array(masks),
             jnp.array(np.asarray(Rs[:n], np.float32)),
             jnp.array(np.asarray(ps[:n], np.float32)))
+
+    def _condense(self, kfs, Rs, ps, kf_index: int | None = None) -> Keyframe:
+        """Synchronous window condense — one jitted device call
+        (dist_gba.condense_window); the fleet path computes the same
+        thing inside its sharded call."""
+        down, dmask = self._dispatch_condense(kfs, Rs, ps)
         first = kfs[0]
         return Keyframe(
             kf_index=len(self.submaps) if kf_index is None else kf_index,
@@ -244,12 +262,59 @@ class HbaRunner:
 
     # -- bottom-up ----------------------------------------------------------
 
+    def _harvest_cond(self):
+        """Fetch the in-flight condensed submap (completed long ago on
+        the device FIFO) and append it in window order."""
+        if self._inflight_cond is None:
+            return
+        first, down, dmask = self._inflight_cond
+        self._inflight_cond = None
+        self.submaps.append(Keyframe(
+            kf_index=len(self.submaps), scan_id=first.scan_id,
+            session=first.session, R0=first.R0, p0=first.p0,
+            cloud=np.asarray(down), mask=np.asarray(dmask, np.float32),
+            jour=first.jour))
+
+    def _harvest_step(self, inflight):
+        """Fetch one in-flight window BA (blocking readback that now
+        overlaps the execution of the NEXT dispatched window), extract
+        its all-pairs edges, and enqueue its condense."""
+        window, (Rs2, ps2, H, r0, r1) = inflight
+        n = len(window)
+        Rs = np.asarray(Rs2, np.float64)[:n]
+        ps = np.asarray(ps2, np.float64)[:n]
+        self._extract_edges(window, Rs, ps, np.asarray(H, np.float64),
+                            self.edges1)
+        first = window[0]
+        first = dataclasses.replace(first, R0=Rs[0], p0=ps[0])
+        down, dmask = self._dispatch_condense(window, Rs, ps)
+        self._inflight_cond = (first, down, dmask)
+        return float(r0), float(r1)
+
+    def drain(self):
+        """Fetch everything still in flight (both pipeline stages and
+        the fleet); called by flush()/total_ba()/top_down() so edge and
+        submap lists are complete before they are consumed."""
+        out = None
+        if self._fleet_inflight is not None:
+            out = self._harvest_fleet()
+        if self._inflight_step is not None:
+            self._harvest_cond()
+            step, self._inflight_step = self._inflight_step, None
+            r0, r1 = self._harvest_step(step)
+            out = dict(r0=r0, r1=r1)
+        self._harvest_cond()
+        return out
+
     def add_keyframe(self, kf: Keyframe):
         """Stream one keyframe; a window BA is due whenever `win` have
         accumulated (stride `stride`), mirroring thd_globalmapping's
         continuous consumption (:3066-3096). Single-device: the window
-        runs immediately. With a mesh: windows queue and run
-        `fleet_batch` at a time, sharded over axis "win"."""
+        is DISPATCHED immediately and harvested when the next window
+        dispatches (two-stage pipeline: step then condense), so wall
+        time per window approaches device-busy time. With a mesh:
+        windows queue and run `fleet_batch` at a time, sharded over
+        axis "win", with the same dispatch-ahead batching."""
         g = self.cfg.gba
         self._pending.append(kf)
         if len(self._pending) < g.win_size:
@@ -261,18 +326,23 @@ class HbaRunner:
             if len(self._win_queue) >= self._fleet_batch:
                 return self._flush_windows()
             return dict(queued=len(self._win_queue))
-        Rs, ps, H, r0, r1 = self._run_window(window, g.win_size)
-        self._extract_edges(window, Rs, ps, H, self.edges1)
-        self.submaps.append(self._condense(window, Rs, ps))
+        outs = self._dispatch_window(window, g.win_size)
+        prev, self._inflight_step = self._inflight_step, (window, outs)
+        r0 = r1 = None
+        if prev is not None:
+            self._harvest_cond()
+            r0, r1 = self._harvest_step(prev)
         return dict(r0=r0, r1=r1, n_edges=len(self.edges1),
-                    n_submaps=len(self.submaps))
+                    n_submaps=len(self.submaps), in_flight=True)
 
     def _flush_windows(self):
-        """Run all queued windows through the sharded fleet (padding the
-        batch to a mesh-size multiple by repeating the first window;
-        padded results are discarded)."""
+        """Dispatch all queued windows through the sharded fleet
+        (padding the batch to a mesh-size multiple by repeating the
+        first window; padded results are discarded), then harvest the
+        PREVIOUS in-flight batch — its blocking readback overlaps the
+        new batch's device execution."""
         if not self._win_queue:
-            return None
+            return self._harvest_fleet()
         g = self.cfg.gba
         W = g.win_size
         Pm = self.kf_point_max
@@ -296,9 +366,24 @@ class HbaRunner:
                 Rs[b, i] = kf.R0
                 ps[b, i] = kf.p0
         fleet = self._get_fleet(W, 1024)
-        (Rs2, ps2, rel_R, rel_p, v6, evalid, r0, r1, downs, dmasks) = \
-            fleet(jnp.array(clouds), jnp.array(masks), jnp.array(Rs),
-                  jnp.array(ps), jnp.array(wmask))
+        outs = fleet(jnp.array(clouds), jnp.array(masks), jnp.array(Rs),
+                     jnp.array(ps), jnp.array(wmask))
+        prev, self._fleet_inflight = self._fleet_inflight, (queue, outs)
+        if prev is None:
+            return dict(dispatched=n_real)
+        return self._harvest_fleet(prev)
+
+    def _harvest_fleet(self, inflight=None):
+        """Fetch one in-flight fleet batch and build its edge/submap
+        records (default: the runner's current in-flight batch)."""
+        if inflight is None:
+            inflight, self._fleet_inflight = self._fleet_inflight, None
+        if inflight is None:
+            return None
+        W = self.cfg.gba.win_size
+        queue, (Rs2, ps2, rel_R, rel_p, v6, evalid, r0, r1,
+                downs, dmasks) = inflight
+        n_real = len(queue)
         Rs2 = np.asarray(Rs2, np.float64)
         ps2 = np.asarray(ps2, np.float64)
         rel_R = np.asarray(rel_R, np.float64)
@@ -328,8 +413,11 @@ class HbaRunner:
                     n_submaps=len(self.submaps))
 
     def flush(self):
-        """Run any queued windows (end of stream / finish)."""
-        return self._flush_windows()
+        """Run any queued windows and fetch everything in flight (end
+        of stream / finish)."""
+        out = self._flush_windows() if self.mesh is not None else None
+        out2 = self.drain()
+        return out2 if out2 is not None else out
 
     def bottom_up(self, keyframes):
         for kf in keyframes:
@@ -346,6 +434,7 @@ class HbaRunner:
         are recursively condensed in non-overlapping `win_size` windows
         (each window BA'd, its edges kept) until one window covers the
         whole level — every submap contributes edges at every level."""
+        self.drain()
         if len(self.submaps) < 2:
             return None
         g = self.cfg.gba
@@ -377,6 +466,7 @@ class HbaRunner:
         solve (reference topDownProcess :2717-2812). Updates every
         session's scan poses and keyframes in place via the loop
         pipeline's solver; returns its LoopCorrection."""
+        self.drain()
         lp = loop_pipeline
         lp.lp_edges.extend(self.edges1)
         lp.lp_edges.extend(self.edges2)

@@ -112,6 +112,15 @@ class LoopPipeline:
         self._jit_merge = jax.jit(self._merge_keyframe)
         self._jit_icp = jax.jit(partial(
             icp_point_to_plane, icp_eigval=cfg.loop.icp_eigval))
+        # vmapped candidate-verification ICP: all overlap-passing
+        # candidates of one keyframe search align in ONE device call
+        # (chunks of _icp_batch) instead of one dispatch per candidate —
+        # at aerial candidate_num=100 the serial path was up to 100
+        # sequential device round-trips per keyframe event (reference
+        # candidate loop: BTC.cpp:1281-1396)
+        self._jit_icp_b = jax.jit(jax.vmap(
+            partial(icp_point_to_plane, icp_eigval=cfg.loop.icp_eigval),
+            in_axes=(None, None, 0, 0, 0, 0)))
         self._extract = jax.jit(btc_extract, static_argnums=(2,))
         self._pg_cache = {}
 
@@ -260,29 +269,66 @@ class LoopPipeline:
 
     # -- search + verify ----------------------------------------------------
 
+    # candidates per vmapped ICP call: bounds the (B, chunk, P) distance
+    # block inside the batched 5-NN at ~256 MB transient
+    _icp_batch = 4
+
     def _search_session(self, tid: int, desc_np, kf: Keyframe, skip: int):
         """BTC vote + SVD agreement + ICP refine against session `tid`.
         Returns (matched keyframe, R_cm, t_cm) mapping current-kf body ->
-        matched-kf body, or None."""
+        matched-kf body, or None.
+
+        All candidates clearing the plane-overlap gate are collected
+        first (host RANSAC, db.verify), then ICP-verified in ONE vmapped
+        device call per `_icp_batch` chunk; the accepted match is the
+        first passer in vote order — identical result to the serial
+        per-candidate loop it replaces (reference: BTC.cpp:1281-1396)."""
         db = self.dbs[tid]
         cands = db.search(desc_np, skip_near=skip,
                           current_frame=kf.kf_index if tid == kf.session
                           else 1 << 30)
+        passing = []
         for frame_id, votes, matches in \
                 cands[:self.cfg.loop.candidate_num]:
             ver = db.verify(desc_np, frame_id, matches)
             if ver is None or ver["overlap"] < self.juds[tid]:
                 continue
-            m_kf = self.keyframes[tid][frame_id]
-            out = self._jit_icp(
-                jnp.array(kf.cloud), jnp.array(kf.mask),
-                jnp.array(m_kf.cloud), jnp.array(m_kf.mask),
-                jnp.array(ver["R"], jnp.float32),
-                jnp.array(ver["t"], jnp.float32))
-            if not bool(out["ok"]):
+            passing.append((frame_id, ver))
+        if not passing:
+            return None
+
+        src = jnp.array(kf.cloud)
+        smask = jnp.array(kf.mask)
+        B = self._icp_batch
+        for c0 in range(0, len(passing), B):
+            chunk = passing[c0:c0 + B]
+            if len(chunk) == 1:
+                frame_id, ver = chunk[0]
+                m_kf = self.keyframes[tid][frame_id]
+                out = self._jit_icp(
+                    src, smask,
+                    jnp.array(m_kf.cloud), jnp.array(m_kf.mask),
+                    jnp.array(ver["R"], jnp.float32),
+                    jnp.array(ver["t"], jnp.float32))
+                if bool(out["ok"]):
+                    return m_kf, np.asarray(out["R"], np.float64), \
+                        np.asarray(out["t"], np.float64)
                 continue
-            return m_kf, np.asarray(out["R"], np.float64), \
-                np.asarray(out["t"], np.float64)
+            pad = chunk + [chunk[0]] * (B - len(chunk))
+            kfs = [self.keyframes[tid][f] for f, _ in pad]
+            tgt = jnp.array(np.stack([k.cloud for k in kfs]))
+            tmask = jnp.array(np.stack([k.mask for k in kfs]))
+            R0 = jnp.array(np.stack([v["R"] for _, v in pad]),
+                           jnp.float32)
+            t0 = jnp.array(np.stack([v["t"] for _, v in pad]),
+                           jnp.float32)
+            out = self._jit_icp_b(src, smask, tgt, tmask, R0, t0)
+            oks = np.asarray(out["ok"])
+            Rs = np.asarray(out["R"], np.float64)
+            ts = np.asarray(out["t"], np.float64)
+            for i in range(len(chunk)):
+                if oks[i]:
+                    return self.keyframes[tid][chunk[i][0]], Rs[i], ts[i]
         return None
 
     # -- pose graph ---------------------------------------------------------
