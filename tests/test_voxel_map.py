@@ -519,3 +519,107 @@ class TestSparseMarginalize:
         for a, b in zip(out, lv_sat):
             np.testing.assert_array_equal(np.asarray(a.fix.n),
                                           np.asarray(b.fix.n))
+
+
+def _assert_slab_close(a, b, atol=5e-4):
+    """Slab comparison on PLANE rows only (state col 9 == 1), up to the
+    eigenvector sign ambiguity: non-plane voxels (e.g. n=2 rank-1
+    clusters) have arbitrary rounding-dependent eigenvectors and their
+    slabs are never consumed (match and harvest gate on STATE_PLANE);
+    the normal is defined up to sign and used sign-insensitively."""
+    np.testing.assert_allclose(a[:, 9], b[:, 9], atol=0)
+    pl = a[:, 9] == 1.0
+    a, b = a[pl], b[pl]
+    na, nb = a[:, 0:3], b[:, 0:3]
+    flip = (np.einsum("ni,ni->n", na, nb) < 0)[:, None]
+    a = a.copy()
+    a[:, 0:3] = np.where(flip, -na, na)
+    np.testing.assert_allclose(a, b, atol=atol, rtol=1e-3)
+
+
+class TestRunningTotalRefresh:
+    """The touched-slot refresh fits planes from the incrementally
+    maintained world-frame running total (VoxelLevel.tot) instead of
+    re-gathering (W, C) window columns. Right after inserts (poses
+    unchanged since insert) the running total must equal the exact
+    fix + sum_w transform(win) reduction, so touched == full refresh."""
+
+    def _insert_frames(self, rng, cfg, n_frames=3):
+        from voxelslam_tpu.core import so3 as _so3
+        levels = vm.empty_map(cfg)
+        W = cfg.win_size
+        Rs = np.tile(np.eye(3, dtype=np.float32), (W, 1, 1))
+        ps = np.zeros((W, 3), np.float32)
+        mp = jnp.arange(W, dtype=jnp.int32)
+        all_touched = None
+        for f in range(n_frames):
+            R = np.asarray(_so3.exp(jnp.array(
+                rng.normal(0, 0.3, 3).astype(np.float32))))
+            p = rng.normal(0, 1.0, 3).astype(np.float32)
+            n = 500
+            loc = np.stack([rng.uniform(-4, 4, n), rng.uniform(-4, 4, n),
+                            rng.normal(0.5, 0.02, n)], -1).astype(np.float32)
+            wld = loc @ R.T + p
+            Rs[f], ps[f] = R, p
+            levels, touched = vm.insert_scan_fused(
+                levels, cfg, jnp.array(wld), jnp.array(loc),
+                jnp.full((n,), 1e-4), jnp.ones(n), f, 0.0,
+                jnp.array(R), jnp.array(p))
+            all_touched = touched
+        return levels, jnp.array(Rs), jnp.array(ps), mp, all_touched, \
+            n_frames
+
+    def test_touched_matches_full(self, rng):
+        cfg = small_test_config().map
+        levels, Rs, ps, mp, touched, nf = self._insert_frames(rng, cfg)
+        lv_t = vm.refresh_planes(levels, cfg, Rs, ps, mp, nf,
+                                 touched=touched)
+        lv_f = vm.refresh_planes(levels, cfg, Rs, ps, mp, nf)
+        for lt, lf_, (s, sv, _) in zip(lv_t, lv_f, touched):
+            si = np.asarray(s)[np.asarray(sv)]
+            np.testing.assert_array_equal(
+                np.asarray(lt.state)[si], np.asarray(lf_.state)[si])
+            _assert_slab_close(np.asarray(lt.slab)[si],
+                               np.asarray(lf_.slab)[si])
+            pl = np.asarray(lt.state)[si] == vm.STATE_PLANE
+            np.testing.assert_allclose(
+                np.asarray(lt.lam)[si][pl], np.asarray(lf_.lam)[si][pl],
+                atol=1e-5, rtol=1e-3)
+
+    def test_insert_fixed_updates_total(self, rng):
+        cfg = small_test_config().map
+        levels, Rs, ps, mp, _, nf = self._insert_frames(rng, cfg)
+        n = 400
+        wld = np.stack([rng.uniform(-4, 4, n), rng.uniform(-4, 4, n),
+                        rng.normal(0.52, 0.02, n)], -1).astype(np.float32)
+        levels, touched = vm.insert_fixed_touched(
+            levels, cfg, jnp.array(wld), jnp.full((n,), 1e-4),
+            jnp.ones(n), 0.0)
+        lv_t = vm.refresh_planes(levels, cfg, Rs, ps, mp, nf,
+                                 touched=touched)
+        lv_f = vm.refresh_planes(levels, cfg, Rs, ps, mp, nf)
+        for lt, lf_, (s, sv, _) in zip(lv_t, lv_f, touched):
+            si = np.asarray(s)[np.asarray(sv)]
+            np.testing.assert_array_equal(
+                np.asarray(lt.state)[si], np.asarray(lf_.state)[si])
+            _assert_slab_close(np.asarray(lt.slab)[si],
+                               np.asarray(lf_.slab)[si])
+
+    def test_full_refresh_resyncs_total(self, rng):
+        """After BA moves window poses, a full refresh must overwrite
+        the running total with the exact value at the NEW poses."""
+        cfg = small_test_config().map
+        levels, Rs, ps, mp, touched, nf = self._insert_frames(rng, cfg)
+        ps2 = ps + jnp.array([0.05, -0.02, 0.01])
+        lv_f = vm.refresh_planes(levels, cfg, Rs, ps2, mp, nf)
+        exact, _ = vm.total_cluster_level(lv_f[0], Rs, ps2, mp, nf)
+        np.testing.assert_allclose(np.asarray(lv_f[0].tot.mu),
+                                   np.asarray(exact.mu), atol=1e-5)
+        # and the touched refresh after the resync uses the new totals
+        lv_t = vm.refresh_planes(lv_f, cfg, Rs, ps2, mp, nf,
+                                 touched=touched)
+        lv_f2 = vm.refresh_planes(lv_f, cfg, Rs, ps2, mp, nf)
+        s, sv, _ = touched[0]
+        si = np.asarray(s)[np.asarray(sv)]
+        _assert_slab_close(np.asarray(lv_t[0].slab)[si],
+                           np.asarray(lv_f2[0].slab)[si])

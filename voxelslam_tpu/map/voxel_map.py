@@ -89,7 +89,8 @@ NV = 5  # noise-record channels: [sum a*rhat (3), sum a, sum b]
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["keys", "occ", "win", "win_nv", "fix", "fix_nv",
-                      "state", "slab", "lam", "jour", "tsl"],
+                      "tot", "tot_nv", "state", "slab", "lam", "jour",
+                      "tsl"],
          meta_fields=[])
 @dataclasses.dataclass
 class VoxelLevel:
@@ -99,6 +100,14 @@ class VoxelLevel:
     win_nv: jnp.ndarray    # (W, C, NV) noise record, LOCAL frame
     fix: Cluster           # (C, ...): world-frame marginalized points
     fix_nv: jnp.ndarray    # (C, NV) noise record, WORLD frame
+    tot: Cluster           # (C, ...): world-frame RUNNING total
+    tot_nv: jnp.ndarray    # (C, NV): incrementally merged at insert
+                           # (contributions at their insert-time poses)
+                           # and RESYNCED to the exact fix + sum_w
+                           # transform(win) by every full-table refresh;
+                           # the touched-slot refresh fits planes from
+                           # this table directly — no (W, C) window
+                           # gathers in the per-scan hot path
     state: jnp.ndarray     # (C,) int32
     slab: jnp.ndarray      # (C, SLAB) packed match record
     lam: jnp.ndarray       # (C, 3) eigenvalues of normalized cov
@@ -139,6 +148,8 @@ def empty_level(capacity: int, win_size: int,
         win_nv=jnp.zeros((win_size, C, NV)),
         fix=Cluster.empty((C,)),
         fix_nv=jnp.zeros((C, NV)),
+        tot=Cluster.empty((C,)),
+        tot_nv=jnp.zeros((C, NV)),
         state=jnp.zeros((C,), jnp.int32),
         slab=jnp.zeros((C, SLAB)),
         lam=jnp.zeros((C, 3)),
@@ -397,11 +408,24 @@ def insert_scan_fused(levels, cfg: MapConfig, pts_world, pts_local,
         win = jax.tree.map(lambda full, new: full.at[frame_slot].set(new),
                            lv.win, merged)
         win_nv = lv.win_nv.at[frame_slot].add(nv_add)
+
+        # running world-frame total (read by the touched-slot plane
+        # refresh): closed-form world version of `added` — the raw
+        # voxel-center-relative moments rotate as R q, so
+        # delta_w = R delta and S_w = R S R^T exactly
+        delta_w = jnp.einsum("ij,cj->ci", R, delta)
+        mu_add_w = jnp.where(has[:, None], center_slot + delta_w, 0.0)
+        S_add_w = jnp.einsum("ij,cjk,lk->cil", R, S_add, R)
+        tot = cl.merge(lv.tot, Cluster(n=n_add, mu=mu_add_w, S=S_add_w))
+        tot_nv = lv.tot_nv + jnp.concatenate(
+            [jnp.einsum("ij,cj->ci", R, nv_add[:, 0:3]),
+             nv_add[:, 3:5]], axis=-1)
+
         jour_arr = lv.jour.at[jnp.where(newly, uslots, C)].set(
             jnp.float32(jour), mode="drop")
         out.append(dataclasses.replace(
             lv, keys=tkeys, occ=occ, win=win, win_nv=win_nv,
-            jour=jour_arr))
+            tot=tot, tot_nv=tot_nv, jour=jour_arr))
         touched.append((uslots, uvalid & (uslots >= 0), dropped))
     return tuple(out), touched
 
@@ -439,22 +463,33 @@ def insert_fixed_level(lv: VoxelLevel, level_size: float, unique_max: int,
 
     row_ok = uvalid & (uslots >= 0)
     su = jnp.clip(jnp.where(row_ok, uslots, 0), 0, C - 1)
+    added_u = Cluster(n=n_add, mu=mu_add, S=S_add)
     f_u = lv.fix[su]
-    merged = cl.merge(f_u, Cluster(n=n_add, mu=mu_add, S=S_add))
+    merged = cl.merge(f_u, added_u)
     nv_new = lv.fix_nv[su] + nv_add
-    tgt, m_n, m_mu, m_S, nv_new = jax.lax.optimization_barrier(
-        (jnp.where(row_ok, su, C), merged.n, merged.mu, merged.S, nv_new))
+    t_u = cl.merge(lv.tot[su], added_u)       # running world total
+    tnv_new = lv.tot_nv[su] + nv_add
+    tgt, m_n, m_mu, m_S, nv_new, t_u, tnv_new = \
+        jax.lax.optimization_barrier(
+            (jnp.where(row_ok, su, C), merged.n, merged.mu, merged.S,
+             nv_new, t_u, tnv_new))
     fix = Cluster(
         n=lv.fix.n.at[tgt].set(m_n, mode="drop"),
         mu=lv.fix.mu.at[tgt].set(m_mu, mode="drop"),
         S=lv.fix.S.at[tgt].set(m_S, mode="drop"))
     fix_nv = lv.fix_nv.at[tgt].set(nv_new, mode="drop")
+    tot = Cluster(
+        n=lv.tot.n.at[tgt].set(t_u.n, mode="drop"),
+        mu=lv.tot.mu.at[tgt].set(t_u.mu, mode="drop"),
+        S=lv.tot.S.at[tgt].set(t_u.S, mode="drop"))
+    tot_nv = lv.tot_nv.at[tgt].set(tnv_new, mode="drop")
 
     newly = uvalid & (uslots >= 0) & ~occ_before[jnp.maximum(uslots, 0)]
     jour_arr = lv.jour.at[jnp.where(newly, uslots, C)].set(
         jnp.float32(jour), mode="drop")
     lv = dataclasses.replace(lv, keys=tkeys, occ=occ, fix=fix,
-                             fix_nv=fix_nv, jour=jour_arr)
+                             fix_nv=fix_nv, tot=tot, tot_nv=tot_nv,
+                             jour=jour_arr)
     dropped = jnp.sum((uvalid & (uslots < 0)).astype(jnp.int32))
     return lv, uslots, uvalid & (uslots >= 0), dropped
 
@@ -604,16 +639,19 @@ def refresh_planes_level(lv: VoxelLevel, layer: int, cfg: MapConfig,
         total, nv_total = total_cluster_level(lv, Rs, ps, mp, win_count)
         state, slab, lam = _plane_fit(total, nv_total, lv.occ, layer, cfg,
                                       min_eig, thr)
-        return dataclasses.replace(lv, state=state, slab=slab, lam=lam)
+        # RESYNC the running world total to the exact value at the
+        # current window poses (see VoxelLevel.tot): full refreshes run
+        # at init / map rebuild / GBA, exactly where insert-time-pose
+        # staleness would otherwise accumulate
+        return dataclasses.replace(lv, state=state, slab=slab, lam=lam,
+                                   tot=total, tot_nv=nv_total)
 
-    # --- touched-slot refresh -----------------------------------------
+    # --- touched-slot refresh: fit straight from the running total —
+    # no (W, C) window gathers or per-frame transforms in the hot path
     C = lv.keys.shape[0]
     si = jnp.where(svalid, slots, 0)
-    Rs_p, ps_p, fmask = _phys_poses(Rs, ps, mp, win_count)
-    win_u = jax.tree.map(lambda a: a[:, si], lv.win)
-    total, nv = _total_over_frames(win_u, lv.win_nv[:, si],
-                                   lv.fix[si], lv.fix_nv[si],
-                                   Rs_p, ps_p, fmask)
+    total = lv.tot[si]
+    nv = lv.tot_nv[si]
 
     occ_u = lv.occ[si] & svalid
     state_u, slab_u, lam_u = _plane_fit(total, nv, occ_u, layer, cfg,
@@ -858,6 +896,8 @@ def evict_level(lv: VoxelLevel, jour_now, max_dist: float):
         win_nv=perm_w(lv.win_nv),
         fix=jax.tree.map(perm, lv.fix),
         fix_nv=perm(lv.fix_nv),
+        tot=jax.tree.map(perm, lv.tot),
+        tot_nv=perm(lv.tot_nv),
         state=perm(lv.state),
         slab=perm(lv.slab),
         lam=perm(lv.lam),

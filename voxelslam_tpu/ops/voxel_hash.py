@@ -56,15 +56,29 @@ def hash_key(keys: jnp.ndarray, capacity: int) -> jnp.ndarray:
     constants that mix well in 32-bit)."""
     k = keys.astype(jnp.uint32)
     h = k[..., 0] * jnp.uint32(73856093)
-    h = h ^ (k[..., 1] * jnp.uint32(19349669))
-    h = h ^ (k[..., 2] * jnp.uint32(83492791))
-    h = h * jnp.uint32(2654435761)
+    h = h + (k[..., 1] * jnp.uint32(19349669))
+    h = h + (k[..., 2] * jnp.uint32(83492791))
+    # murmur3-style finalizer: the bare xor/product mix collided whole
+    # lattice neighborhoods onto one 32-bit hash (observed 4 distinct
+    # in-scan voxel keys with IDENTICAL h — a depth-4 probe-contention
+    # chain); the avalanche kills that structure
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
     return (h % jnp.uint32(capacity)).astype(jnp.int32)
 
 
-def _cand(h0: jnp.ndarray, r: int, capacity: int) -> jnp.ndarray:
+def _cand(h0: jnp.ndarray, r, capacity: int) -> jnp.ndarray:
     """Probe candidate for round r: triangular offset r(r+1)/2."""
     return (h0 + (r * (r + 1)) // 2) % capacity
+
+
+# round indices for batched candidate generation (numpy: no device
+# constant materialized at import time)
+import numpy as _np  # noqa: E402
+_ROUNDS = _np.arange(PROBES, dtype=_np.int32)
 
 
 def empty_table(capacity: int):
@@ -87,12 +101,16 @@ def lookup(table_keys: jnp.ndarray, occ: jnp.ndarray,
     del occ  # occupancy implied by the key sentinel
     C = table_keys.shape[0]
     h0 = hash_key(queries, C)
-    slot = jnp.full(queries.shape[:-1], -1, jnp.int32)
-    for r in range(PROBES):
-        cand = _cand(h0, r, C)
-        hit = jnp.all(table_keys[cand] == queries, axis=-1)
-        slot = jnp.where((slot < 0) & hit, cand, slot)
-    return jnp.where(valid, slot, -1)
+    # ONE (Q, PROBES) gather for all candidate rounds (the table is
+    # static during probing): the 8-way unrolled per-round gathers were
+    # 8 separate ~25 us device ops per lookup — the probe gathers were
+    # the largest remaining C-table op group in the fused scan step
+    cands = _cand(h0[..., None], _ROUNDS, C)          # (Q, PROBES)
+    k = table_keys[cands]                             # (Q, PROBES, 3)
+    hit = jnp.all(k == queries[..., None, :], axis=-1)
+    r_first = jnp.argmax(hit, axis=-1)
+    slot = jnp.take_along_axis(cands, r_first[..., None], -1)[..., 0]
+    return jnp.where(valid & jnp.any(hit, axis=-1), slot, -1)
 
 
 def insert(table_keys: jnp.ndarray, occ: jnp.ndarray,
@@ -107,37 +125,48 @@ def insert(table_keys: jnp.ndarray, occ: jnp.ndarray,
 
     Because the queries are deduplicated, no query can ever hit a key
     written by ANOTHER query of this same insert — so all key/occ writes
-    are deferred to ONE scatter after the unrolled probe rounds. Claim
-    state lives in one carried (C,) `election` array: round r writes tag
-    r*Q + qidx with scatter-min; earlier rounds' tags are smaller, so a
-    claim can never be stolen by a later round, and per-round work stays
-    O(Q) (the old per-round `claimed` bitmap + fresh election array cost
-    O(C) per round — the dominant term of the old insert at C=64k).
+    are deferred to ONE scatter, and existing-key hits resolve from one
+    batched (Q, PROBES) candidate gather up-front. Free-slot claims run
+    sequential per-round scatter-min elections over the same
+    precomputed candidates (tag r*Q + qidx; earlier rounds can never be
+    stolen).
     """
     C = table_keys.shape[0]
     Q = queries.shape[0]
     h0 = hash_key(queries, C)
     qidx = jnp.arange(Q, dtype=jnp.int32)
 
-    slot = jnp.full((Q,), -1, jnp.int32)
-    done = ~valid
+    # ONE (Q, PROBES) key gather for every round (see lookup): existing-
+    # key hits can be resolved up-front because occupancy is monotone —
+    # if a key sits at round r, rounds < r were occupied at its own
+    # insert time and slots are never freed in place, so a hit at r can
+    # never race a claim at r' < r
+    cands = _cand(h0[:, None], _ROUNDS, C)            # (Q, PROBES)
+    ks = table_keys[cands]                            # (Q, PROBES, 3)
+    occ_r = ks[..., 0] != EMPTY_KEY                   # (Q, PROBES)
+    hits = occ_r & jnp.all(ks == queries[:, None, :], axis=-1)
+    any_hit = jnp.any(hits, axis=-1) & valid
+    r_hit = jnp.argmax(hits, axis=-1)
+    hit_slot = jnp.take_along_axis(cands, r_hit[:, None], 1)[:, 0]
+
+    slot = jnp.where(any_hit, hit_slot, -1)
+    done = ~valid | any_hit
     election = jnp.full((C,), _INIT_TAG, jnp.int32)
 
+    # sequential free-slot election rounds over the precomputed
+    # candidates (a flattened Q*PROBES single-scatter variant was tried
+    # and regressed: computed-index scatters of Q*8 rows serialize on
+    # TPU, same lesson as the r4 insert bisect). Claim state lives in
+    # one carried (C,) `election` array: round r writes tag r*Q + qidx
+    # with scatter-min; earlier rounds' tags are smaller, so a claim
+    # can never be stolen by a later round.
     for r in range(PROBES):
-        cand = _cand(h0, r, C)
-        k = table_keys[cand]
-        # occupancy implied by the key sentinel (no occ gather)
-        o = k[:, 0] != EMPTY_KEY
-        hit = o & jnp.all(k == queries, axis=-1) & ~done
-        slot = jnp.where(hit, cand, slot)
-        done = done | hit
-
-        # claim free, unclaimed slots: tagged scatter-min election.
+        cand = cands[:, r]
         # barrier: election indices and updates share the `want`
         # producer chain — fusing it into two operands of one scatter
         # trips the XLA:TPU fusion assertion (scatter_emitter.cc)
         tag = r * Q + qidx
-        want = ~done & ~o & (election[cand] == _INIT_TAG)
+        want = ~done & ~occ_r[:, r] & (election[cand] == _INIT_TAG)
         e_idx, e_upd = jax.lax.optimization_barrier(
             (jnp.where(want, cand, C), jnp.where(want, tag, _INIT_TAG)))
         election = election.at[e_idx].min(e_upd, mode="drop")

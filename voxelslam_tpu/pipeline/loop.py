@@ -138,8 +138,12 @@ class LoopPipeline:
         self.relc_counts.append(0)
         self._bl_local = []
         self._x_key = None
-        if not self.graph_ids:
-            self.graph_ids = [sid]
+        # a fresh session is DISCONNECTED until BTC relocalizes it: the
+        # optimized-graph set restarts at {sid} (reference build_graph
+        # runs its DFS from the current session, voxelslam.cpp:
+        # 2078-2154) — first contact with any earlier session flags
+        # is_graph and rebuilds the reachable set
+        self.graph_ids = [sid]
         return sid
 
     @property
@@ -533,9 +537,21 @@ class LoopPipeline:
         distance test against per-session position arrays (the
         reference's keyframe kd-tree) — per-scan cost stays flat at
         thousands of keyframes; only in-radius hits touch the Keyframe
-        objects (`exist` stays object-authoritative)."""
+        objects (`exist` stays object-authoritative).
+
+        Cross-session keyframes are only eligible once the CURRENT
+        session has relocalized into the graph (cur_session in
+        graph_ids): a fresh post-reset session lives in its own
+        arbitrary frame, and folding another session's keyframes into
+        its live map at unaligned coordinates poisons the matcher —
+        organically observed as a degrade -> reset cascade right after
+        every reset (tests/test_elevator.py); the reference's
+        keyframe_loading likewise only draws from the relocalization-
+        connected history (voxelslam.cpp:1379-1438, 2219-2269)."""
         r2 = radius * radius
-        for s in self.graph_ids if self.graph_ids else [self.cur_session]:
+        ids = (self.graph_ids if self.cur_session in self.graph_ids
+               else [self.cur_session])
+        for s in ids:
             kfs = self.keyframes[s]
             if not kfs:
                 continue

@@ -83,6 +83,10 @@ def _pin_window_layouts(levels):
 
     # tuple, not list: the K-scan fused dispatch carries `levels`
     # through lax.scan, whose carry pytree structure must match
+    # tot stays UNPINNED: its consumers are full-table elementwise
+    # merges (layout-agnostic) and the touched-refresh ROW gathers,
+    # which need row-major contiguity — a C-minor pin made the fused
+    # step's refresh ~10x slower than the same gathers unpinned
     return tuple(dataclasses.replace(
         lv, win=jax.tree.map(pin, lv.win), win_nv=pin(lv.win_nv),
         fix=jax.tree.map(pin_fix, lv.fix))
