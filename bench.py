@@ -50,14 +50,20 @@ def main():
     from voxelslam_tpu.io import simulator as sim
 
     # Map capacity is sized to the scene + eviction horizon like any
-    # deployment config: the bench room has ~13k occupied finest-level
-    # voxels (surface area / 0.25^2), so (8k, 16k, 32k) runs at ~0.4
-    # load. Per-scan maintenance cost scales with capacity (the O(C)
-    # passes), so oversizing the table is pure waste — BENCH_NOTES_r04
-    # reports the 2x-capacity number alongside.
+    # deployment config. The bench room's full surface is ~33k occupied
+    # finest-level voxels (area / 0.25^2) — r4's caps ran the finest
+    # table at an apparent 0.4 load only because the old degenerate
+    # voxel hash silently dropped colliding keys; with the fixed hash
+    # the same caps hit 0.91 load (probe-chain drops + futile eviction
+    # rebuilds every 50 scans, the source of the r4 fps outlier
+    # segment). (8k, 32k, 64k) holds every level at <= ~0.5 load;
+    # evict_load 0.55 keeps the load-factor eviction OUT of a bench
+    # whose 14 m journey can never age voxels past the 700 m horizon
+    # (eviction cost is exercised by the endurance test instead).
     cfg = SlamConfig(
-        map=MapConfig(capacities=(1 << 13, 1 << 14, 1 << 15),
-                      unique_max=(4096, 4096, 8192)),
+        map=MapConfig(capacities=(1 << 13, 1 << 15, 1 << 16),
+                      unique_max=(4096, 4096, 8192),
+                      evict_load=0.55),
         odom=OdometryConfig(point_max=4096, imu_max=64),
         lba=LocalBAConfig(factor_max=1024),
     )

@@ -2,12 +2,17 @@
 
 BASELINE.md's accuracy metric names HILTI/MARS sequences that are not
 available in this environment; until real data is mountable, this
-records the quantitative accuracy artifact on the synthetic box-room
-sequence (exact ground truth, deskew + BA + marginalization all
-exercised): feed ~10 s of simulated scans through the full pipeline on
-the default backend and report ATE RMSE against the true trajectory.
+records the quantitative accuracy artifact on synthetic sequences with
+exact ground truth (deskew + BA + marginalization all exercised), on
+two scenes:
 
-Prints ONE JSON line.
+  * box room — the longstanding planar baseline scene
+  * cluttered — make_cluttered_scene: box pillars + cylinder facets
+    (curved, breaks the all-planar assumption) + inclined ramps +
+    bounded-patch occlusion + range-dependent return dropout — the
+    closest available proxy for real-bag geometry (VERDICT r4 #6)
+
+Prints ONE JSON line per scene.
 """
 
 import json
@@ -15,9 +20,7 @@ import json
 import numpy as np
 
 
-def main():
-    import bench  # reuse the bench config + compile cache setup
-    bench._enable_compile_cache()
+def run_scene(name, scene_obj, dropout_at=None, n_scans=100):
     from voxelslam_tpu.config import SlamConfig, MapConfig, \
         OdometryConfig, LocalBAConfig
     from voxelslam_tpu.pipeline import SlamPipeline
@@ -30,18 +33,16 @@ def main():
         odom=OdometryConfig(point_max=4096, imu_max=64),
         lba=LocalBAConfig(factor_max=1024),
     )
-    n_scans = 100
     traj = sim.make_trajectory(duration=0.2 + 0.1 * (n_scans + 2),
                                speed=1.2, wobble=0.25, yaw_rate=0.3,
                                ramp=1.2)
-    normals, dsp = sim.box_room(half_extent=(14.0, 12.0, 3.5),
-                                center=(4.0, 0.0, 1.0))
     pipe = SlamPipeline(cfg, collect_clouds=False)
 
     t = 0.1
     for k in range(n_scans):
-        scan = sim.lidar_scan(traj, t, t + 0.1, normals, dsp,
-                              n_az=160, n_el=24, noise=0.01, seed=k)
+        scan = sim.lidar_scan(traj, t, t + 0.1, scene_obj, None,
+                              n_az=160, n_el=24, noise=0.01, seed=k,
+                              dropout_at=dropout_at)
         hit = scan["hit"]
         ts = np.arange(t - 0.01, t + 0.1 + 1e-6, 1.0 / 200.0)
         gyr = np.empty((len(ts), 3))
@@ -59,11 +60,28 @@ def main():
     ate = ate_rmse(est, gt)
     length = float(np.sum(np.linalg.norm(np.diff(gt, axis=0), axis=1)))
     print(json.dumps({
-        "metric": "odometry+localBA ATE RMSE (simulated box room)",
+        "metric": f"odometry+localBA ATE RMSE (simulated {name})",
         "value": round(float(ate), 4), "unit": "m",
         "n_scans": len(poses),
         "trajectory_length_m": round(length, 2),
-        "ate_per_meter": round(float(ate) / max(length, 1e-9), 6)}))
+        "ate_per_meter": round(float(ate) / max(length, 1e-9), 6)}),
+        flush=True)
+
+
+def main():
+    import bench  # reuse the bench config + compile cache setup
+    bench._enable_compile_cache()
+    from voxelslam_tpu.io import simulator as sim
+
+    normals, dsp = sim.box_room(half_extent=(14.0, 12.0, 3.5),
+                                center=(4.0, 0.0, 1.0))
+    run_scene("box room", sim.Scene.from_planes(normals, dsp))
+    run_scene("cluttered scene",
+              sim.make_cluttered_scene(half_extent=(16.0, 13.0, 3.8),
+                                       center=(4.0, 0.0, 1.2),
+                                       pillars=6, cylinders=5, ramps=2,
+                                       seed=11),
+              dropout_at=22.0)
 
 
 if __name__ == "__main__":

@@ -30,7 +30,9 @@ if "--cpu" in sys.argv:
     jax.config.update("jax_platforms", "cpu")
 
 
-def make_place(seed, aerial=False):
+def make_place(seed, aerial=False, clutter=False):
+    """clutter=True adds cylinder facets and a ramp (non-planar
+    geometry, VERDICT r4 #6) to the random place."""
     from voxelslam_tpu.io import simulator as sim
     rng = np.random.default_rng(seed)
     scale = 2.0 if aerial else 1.0
@@ -53,6 +55,19 @@ def make_place(seed, aerial=False):
         sx, sy = rng.uniform(0.8, 3.0, 2) * scale
         sz = rng.uniform(1.5, 2 * half[2] - 0.5)
         scene = scene + sim.box_scene((px, py, sz / 2), (sx, sy, sz))
+    if clutter:
+        for _ in range(rng.integers(3, 6)):
+            px = center[0] + rng.uniform(-half[0] + 3, half[0] - 3)
+            py = center[1] + rng.uniform(-half[1] + 3, half[1] - 3)
+            if abs(px - center[0]) < 4 and abs(py - center[1]) < 4:
+                continue
+            r = rng.uniform(0.3, 1.0) * (2.0 if aerial else 1.0)
+            h = rng.uniform(1.5, 2 * half[2] - 0.5)
+            scene = scene + sim.cylinder_scene((px, py, h / 2), r, h)
+        scene = scene + sim.ramp_scene(
+            (center[0] + rng.uniform(-4, 4), center[1] + rng.uniform(-4, 4),
+             0.0), rng.uniform(3, 6), rng.uniform(1.5, 3), rng.uniform(0.5, 1.2),
+            yaw=rng.uniform(0, 2 * np.pi))
     return scene, center, half
 
 
@@ -89,7 +104,7 @@ def keyframe_cloud(scene, origin, yaw, seed, aerial=False, P=8192):
 
 
 def run_profile(aerial: bool, n_places=10, n_novel=6, seed0=100,
-                extractor: str = "projection"):
+                extractor: str = "projection", clutter: bool = False):
     import jax
     import jax.numpy as jnp
     from voxelslam_tpu.config import preset
@@ -111,7 +126,7 @@ def run_profile(aerial: bool, n_places=10, n_novel=6, seed0=100,
     # --- database: one keyframe per place ---
     places = []
     for i in range(n_places):
-        scene, center, half = make_place(seed0 + i, aerial)
+        scene, center, half = make_place(seed0 + i, aerial, clutter)
         z = 2.0 * half[2] + 12.0 if aerial else 1.2
         origin = np.array([center[0], center[1], z])
         yaw = rng.uniform(0, 2 * np.pi)
@@ -146,7 +161,7 @@ def run_profile(aerial: bool, n_places=10, n_novel=6, seed0=100,
             fp += 1
     # --- novel-place queries: must not match anything ---
     for i in range(n_novel):
-        scene, center, half = make_place(seed0 + 500 + i, aerial)
+        scene, center, half = make_place(seed0 + 500 + i, aerial, clutter)
         z = 2.0 * half[2] + 12.0 if aerial else 1.2
         origin = np.array([center[0], center[1], z])
         cloud, mask = keyframe_cloud(scene, origin,
@@ -171,10 +186,12 @@ def main():
     extractors = ["projection", "structural"]
     if "--shipped-only" in sys.argv:
         extractors = ["projection"]
-    for aerial, name in [(False, "ground"), (True, "aerial")]:
-        for ex in extractors:
+    rows = [(False, "ground", False), (True, "aerial", False),
+            (False, "ground, cluttered", True)]
+    for aerial, name, clutter in rows:
+        for ex in (extractors if not clutter else ["projection"]):
             t0 = time.time()
-            r = run_profile(aerial, extractor=ex)
+            r = run_profile(aerial, extractor=ex, clutter=clutter)
             tag = name if ex == "projection" else f"{name}, {ex}"
             for m in ("precision", "recall"):
                 print(json.dumps({

@@ -288,6 +288,7 @@ class HbaRunner:
         first = window[0]
         first = dataclasses.replace(first, R0=Rs[0], p0=ps[0])
         down, dmask = self._dispatch_condense(window, Rs, ps)
+        _start_host_copies((down, dmask))
         self._inflight_cond = (first, down, dmask)
         return float(r0), float(r1)
 
@@ -327,6 +328,7 @@ class HbaRunner:
                 return self._flush_windows()
             return dict(queued=len(self._win_queue))
         outs = self._dispatch_window(window, g.win_size)
+        _start_host_copies(outs)
         prev, self._inflight_step = self._inflight_step, (window, outs)
         r0 = r1 = None
         if prev is not None:
@@ -368,6 +370,7 @@ class HbaRunner:
         fleet = self._get_fleet(W, 1024)
         outs = fleet(jnp.array(clouds), jnp.array(masks), jnp.array(Rs),
                      jnp.array(ps), jnp.array(wmask))
+        _start_host_copies(outs)
         prev, self._fleet_inflight = self._fleet_inflight, (queue, outs)
         if prev is None:
             return dict(dispatched=n_real)
@@ -472,6 +475,19 @@ class HbaRunner:
         lp.lp_edges.extend(self.edges2)
         lp._rebuild_graph_ids()
         return lp._optimize(g_update=False)
+
+
+def _start_host_copies(arrs) -> None:
+    """Begin async device->host transfers for freshly dispatched
+    outputs: the D2H starts as soon as each buffer is produced and
+    rides under the NEXT window's device execution, so the later
+    blocking np.asarray harvest is (tunnel-)RTT-free. Best effort —
+    backends without the API just pay the copy at harvest."""
+    for a in arrs:
+        try:
+            a.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
 
 
 def _next_pow2(n: int) -> int:
